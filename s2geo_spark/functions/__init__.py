@@ -1,0 +1,178 @@
+"""DataFrame-level spatial functions: pandas UDFs + pure-Column expressions.
+
+Design split (SURVEY.md §4.2):
+
+* Everything expressible as int64 bit math (parents, range_min/max, tile
+  assignment, tokens-as-hex, sort keys) is a **Column expression** — it stays
+  JVM-side inside whole-stage codegen.
+* Only the transcendental / Hilbert-table work (lat/lng -> cell id, cell ->
+  center) crosses into Python, as **Arrow-batched pandas UDFs** over the
+  NumPy kernel (no per-row Python).
+
+Cell ids are uint64 bit patterns carried in Spark LongType (two's
+complement). All bit-level ops (lsb, &, |, +, -) are representation-
+identical between int64 and uint64, so parent/range math works directly on
+LongType. Only *comparisons* differ: use :func:`s2_sortkey` (sign-bit flip)
+whenever unsigned order matters (range joins, sorting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType, StructField, DoubleType
+
+from s2geo_spark.kernel import cellid_v1 as _v1
+from s2geo_spark.kernel import cellid_v2 as _v2
+
+__all__ = [
+    "s2_cell_id",
+    "s2_cell_id_at",
+    "s2_v2_id",
+    "s2_cell_center",
+    "s2_parent",
+    "s2_level_expr",
+    "s2_range_min",
+    "s2_range_max",
+    "s2_sortkey",
+    "s2_token_expr",
+    "s2_face_expr",
+    "tile_assign",
+    "MAX_LEVEL",
+]
+
+MAX_LEVEL = 30
+_SIGN_BIT = -(1 << 63)
+
+
+def _u64(series: pd.Series) -> np.ndarray:
+    """LongType pandas series -> uint64 bit view."""
+    return series.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+
+
+def _i64(arr: np.ndarray) -> pd.Series:
+    """uint64 kernel output -> LongType-compatible series (bit reinterpret)."""
+    return pd.Series(arr.view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDFs (Arrow-batched; the only Python in the hot path)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(LongType())
+def s2_cell_id(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """(lat, lon) degrees -> v1 leaf cell id (level 30) as int64 bits.
+
+    Vectorized pipeline of reference s2cell_id_v1.cc:316-325. Null lat/lon
+    rows yield cell id 0 (invalid).
+    """
+    mask = lat.isna() | lon.isna()
+    ids = _v1.from_latlng(
+        lat.to_numpy(dtype=np.float64, na_value=0.0),
+        lon.to_numpy(dtype=np.float64, na_value=0.0),
+    )
+    if mask.any():
+        ids = np.where(mask.to_numpy(), np.uint64(0), ids)
+    return _i64(ids)
+
+
+@F.pandas_udf(LongType())
+def s2_v2_id(v1_id: pd.Series) -> pd.Series:
+    """v1 cell id -> the fork's v2 encoding (s2cell_id.h:33-1091)."""
+    return _i64(_v2.from_v1(_u64(v1_id)))
+
+
+_CENTER_SCHEMA = StructType(
+    [StructField("lat", DoubleType()), StructField("lng", DoubleType())]
+)
+
+
+@F.pandas_udf(_CENTER_SCHEMA)
+def s2_cell_center(cell: pd.Series) -> pd.DataFrame:
+    """cell id -> center (lat, lng) degrees (s2cell_id_v1.cc:385-393)."""
+    lat, lng = _v1.to_latlng_degrees(_u64(cell))
+    return pd.DataFrame({"lat": lat, "lng": lng})
+
+
+def s2_cell_id_at(lat, lon, level: int) -> Column:
+    """Leaf encode then parent — the parent is pure column math."""
+    return s2_parent(s2_cell_id(lat, lon), level)
+
+
+# ---------------------------------------------------------------------------
+# Column expressions (JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def s2_parent(cell, level: int) -> Column:
+    """Ancestor at `level`: (id & -new_lsb) | new_lsb (s2cell_id_v1.h:649-656).
+
+    Identical bit result in int64 two's complement; pure Column math.
+    """
+    new_lsb = 1 << (2 * (MAX_LEVEL - level))
+    c = _col(cell)
+    return (c.bitwiseAND(F.lit(-new_lsb))).bitwiseOR(F.lit(new_lsb))
+
+
+def _lsb_expr(cell) -> Column:
+    c = _col(cell)
+    return c.bitwiseAND(-c)
+
+
+def s2_range_min(cell) -> Column:
+    """id - (lsb - 1) (s2cell_id_v1.h:629-631)."""
+    c = _col(cell)
+    return c - (_lsb_expr(c) - F.lit(1))
+
+
+def s2_range_max(cell) -> Column:
+    """id + (lsb - 1) (s2cell_id_v1.h:633-635)."""
+    c = _col(cell)
+    return c + (_lsb_expr(c) - F.lit(1))
+
+
+def s2_sortkey(cell) -> Column:
+    """Map uint64 bit pattern to int64 preserving unsigned order
+    (flip the sign bit). Use for ORDER BY / BETWEEN on cell ids."""
+    return _col(cell).bitwiseXOR(F.lit(_SIGN_BIT))
+
+
+def s2_level_expr(cell) -> Column:
+    """level = 30 - countr_zero(id)/2, via log2 of the isolated lsb.
+
+    Works for valid ids (lsb in an odd bit position <= 2^60, so the double
+    conversion is exact). JVM-side: log2 on the lsb.
+    """
+    c = _col(cell)
+    lsb = _lsb_expr(c)
+    tz = F.floor(F.log2(lsb.cast("double")))
+    return (F.lit(MAX_LEVEL) - (tz / 2).cast("long")).cast("int")
+
+
+def s2_face_expr(cell) -> Column:
+    """Top 3 bits = face. int64 arithmetic shift needs the unsigned view:
+    use shiftrightunsigned."""
+    return F.shiftrightunsigned(_col(cell), 61).cast("int")
+
+
+def s2_token_expr(cell) -> Column:
+    """Hex token, trailing zeros stripped, 0 -> 'X' (s2cell_id_v1.cc:222-239).
+
+    Pure JVM string ops: hex() gives uppercase without leading zeros; pad to
+    16, lowercase, strip trailing zeros.
+    """
+    c = _col(cell)
+    hex16 = F.lower(F.lpad(F.hex(c), 16, "0"))
+    return F.when(c == 0, F.lit("X")).otherwise(
+        F.regexp_replace(hex16, "0+$", "")
+    )
+
+
+def tile_assign(cell, tile_level: int) -> Column:
+    """Tile id = ancestor cell at tile_level (the engine's tiling operator)."""
+    return s2_parent(cell, tile_level)

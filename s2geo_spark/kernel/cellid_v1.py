@@ -410,6 +410,36 @@ def get_edge_neighbors(cell_id):
     return np.stack([down, right, up, left], axis=-1)
 
 
+def append_vertex_neighbors(cell_id, target_level):
+    """3-4 cells at target_level around the vertex of each cell closest to it
+    (s2cell_id_v1.cc:529-568). target_level must be < level(cell).
+
+    Returns (ids (n, 4) uint64, valid (n, 4) bool) — the 4th column is
+    invalid when the vertex is one of the 8 cube corners (3 neighbors only).
+    """
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    f, i, j = to_face_ij_orientation(cell_id)
+    halfsize = get_size_ij(np.asarray(target_level) + 1)
+    size = halfsize << 1
+    ihit = (i & halfsize) != 0
+    ioffset = np.where(ihit, size, -size)
+    isame = np.where(ihit, (i + size) < MAX_SIZE, (i - size) >= 0)
+    jhit = (j & halfsize) != 0
+    joffset = np.where(jhit, size, -size)
+    jsame = np.where(jhit, (j + size) < MAX_SIZE, (j - size) >= 0)
+
+    c0 = parent(cell_id, target_level)
+    c1 = parent(_from_face_ij_same(f, i + ioffset, j, isame), target_level)
+    c2 = parent(_from_face_ij_same(f, i, j + joffset, jsame), target_level)
+    c3 = parent(
+        _from_face_ij_same(f, i + ioffset, j + joffset, isame & jsame), target_level
+    )
+    ids = np.stack([c0, c1, c2, c3], axis=-1)
+    valid = np.ones(ids.shape, dtype=bool)
+    valid[:, 3] = isame | jsame  # cube-corner vertices have only 3 neighbors
+    return ids, valid
+
+
 def append_all_neighbors(cell_id, nbr_level):
     """All neighbors of each cell at nbr_level >= level
     (s2cell_id_v1.cc:570-611). Returns (ids (n, m) uint64, valid mask) where

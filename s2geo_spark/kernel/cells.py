@@ -1,0 +1,117 @@
+"""Vectorized S2Cell geometry: bounds, vertices, edge normals, point tests.
+
+Reimplements the cell-geometry pieces the coverer and join prefilters need:
+  * IJLevelToBoundUV / GetBoundUV: src/s2/s2cell_id_v1.cc:407-429
+  * vertices = uv-rect corners (CCW from (lo,lo)): src/s2/s2cell.cc GetVertexRaw
+  * edge outward normals via GetUNorm/GetVNorm: src/s2/s2cell.cc:71-77,
+    src/s2/s2coords.h:424-443
+  * S2Cell::Contains(point): uv-rect test expanded by 2*DBL_EPSILON
+    (src/s2/s2cell.cc:283-307)
+
+All functions operate on uint64 cell-id arrays; outputs are stacked NumPy
+arrays (n, 4, 3) etc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid_v1 as v1
+from . import s2coords as sc
+
+_DBL_EPSILON = np.finfo(np.float64).eps
+
+
+def bound_uv(cell_id):
+    """(n,) ids -> (u_lo, u_hi, v_lo, v_hi) arrays (IJLevelToBoundUV)."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    f, i, j = v1.to_face_ij_orientation(cell_id)
+    size = v1.get_size_ij(v1.level(cell_id))
+    i_lo = i & (-size)
+    j_lo = j & (-size)
+    u_lo = sc.st_to_uv(sc.ij_to_st_min(i_lo))
+    u_hi = sc.st_to_uv(sc.ij_to_st_min(i_lo + size))
+    v_lo = sc.st_to_uv(sc.ij_to_st_min(j_lo))
+    v_hi = sc.st_to_uv(sc.ij_to_st_min(j_lo + size))
+    return f, u_lo, u_hi, v_lo, v_hi
+
+
+def vertices_raw(cell_id):
+    """(n,) ids -> (n, 4, 3) un-normalized corner points, CCW from (lo,lo)."""
+    f, u_lo, u_hi, v_lo, v_hi = bound_uv(cell_id)
+    corners_u = (u_lo, u_hi, u_hi, u_lo)
+    corners_v = (v_lo, v_lo, v_hi, v_hi)
+    out = np.empty((np.asarray(cell_id).shape[0], 4, 3), dtype=np.float64)
+    for k in range(4):
+        x, y, z = sc.face_uv_to_xyz(f, corners_u[k], corners_v[k])
+        out[:, k, 0] = x
+        out[:, k, 1] = y
+        out[:, k, 2] = z
+    return out
+
+
+def vertices(cell_id):
+    """Normalized corners (n, 4, 3)."""
+    raw = vertices_raw(cell_id)
+    return raw / np.linalg.norm(raw, axis=2, keepdims=True)
+
+
+def _u_norm(face, u):
+    """GetUNorm (s2coords.h:424-432): outward normal of the plane through
+    the u=const great circle."""
+    one = np.ones_like(u)
+    zero = np.zeros_like(u)
+    conds = [face == k for k in range(6)]
+    x = np.select(conds, [u, one, one, -u, zero, zero])
+    y = np.select(conds, [-one, u, zero, zero, -u, -one])
+    z = np.select(conds, [zero, zero, u, one, one, -u])
+    return np.stack([x, y, z], axis=-1)
+
+
+def _v_norm(face, v):
+    """GetVNorm (s2coords.h:435-443)."""
+    one = np.ones_like(v)
+    zero = np.zeros_like(v)
+    conds = [face == k for k in range(6)]
+    x = np.select(conds, [-v, zero, zero, v, one, one])
+    y = np.select(conds, [zero, -v, -one, -one, v, zero])
+    z = np.select(conds, [one, one, -v, zero, zero, v])
+    return np.stack([x, y, z], axis=-1)
+
+
+def edge_normals_raw(cell_id):
+    """(n, 4, 3) inward-facing edge normals, order [bottom, right, top, left]
+    (S2Cell::GetEdgeRaw, s2cell.cc:71-77). Positive dot => interior side."""
+    f, u_lo, u_hi, v_lo, v_hi = bound_uv(cell_id)
+    out = np.empty((np.asarray(cell_id).shape[0], 4, 3), dtype=np.float64)
+    out[:, 0, :] = _v_norm(f, v_lo)
+    out[:, 1, :] = _u_norm(f, u_hi)
+    out[:, 2, :] = -_v_norm(f, v_hi)
+    out[:, 3, :] = -_u_norm(f, u_lo)
+    return out
+
+
+def contains_points(cell_id, px, py, pz):
+    """Broadcast test: does cell[n] contain point[n]? (paired, not cross.)
+
+    Mirrors S2Cell::Contains (s2cell.cc:283-307): project onto the cell's
+    face (reject if on the back half), then uv-rect test expanded by
+    2*DBL_EPSILON.
+    """
+    f, u_lo, u_hi, v_lo, v_hi = bound_uv(np.asarray(cell_id, dtype=np.uint64))
+    # FaceXYZtoUV validity: the face-axis component must be positive
+    comp = np.select(
+        [f == 0, f == 1, f == 2, f == 3, f == 4, f == 5],
+        [px, py, pz, -px, -py, -pz],
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u, v = sc.valid_face_xyz_to_uv(f, px, py, pz)
+    eps = 2 * _DBL_EPSILON
+    inside = (
+        (comp > 0)
+        & (u >= u_lo - eps)
+        & (u <= u_hi + eps)
+        & (v >= v_lo - eps)
+        & (v <= v_hi + eps)
+    )
+    return inside

@@ -1,0 +1,156 @@
+"""S2RegionCoverer: region -> canonical cell covering.
+
+Faithful reimplementation of the priority-queue refinement algorithm
+(src/s2/s2region_coverer.cc:90-331):
+
+  * seed candidates from the region's cell-union bound (GetFastCovering)
+  * refine the "worst" cell first — priority by (level, num_children,
+    num_terminals) (s2region_coverer.cc:174-186)
+  * a candidate is terminal when it is contained by the region or cannot be
+    subdivided further within max_level (NewCandidate, :90-111)
+  * optimization: 4 terminal children collapse to the parent (:163-171)
+  * final Normalize + optional Denormalize (:292-303)
+
+Defaults match the reference: max_cells=8 (s2region_coverer.h:106).
+
+This is a *per-region* computation (bounded by max_cells*4 heap ops, inner
+predicates NumPy-vectorized over 4 children at a time); the Spark layer maps
+it over polygon/region batches via applyInPandas (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+
+import numpy as np
+
+from . import cellid_v1 as v1
+from . import cellunion
+
+MAX_CELLS_DEFAULT = 8
+_FACE_IDS = np.array([(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64)
+
+
+def _children(cell_id: np.uint64) -> np.ndarray:
+    base = np.repeat(np.array([cell_id], dtype=np.uint64), 4)
+    return v1.child(base, np.arange(4))
+
+
+def get_covering(
+    region,
+    max_cells: int = MAX_CELLS_DEFAULT,
+    min_level: int = 0,
+    max_level: int = v1.MAX_LEVEL,
+    level_mod: int = 1,
+    interior: bool = False,
+) -> np.ndarray:
+    """Covering (or interior covering) of a region, sorted uint64 cell ids."""
+    result: list[np.uint64] = []
+    pq: list = []  # entries: (priority, tiebreak, cell_id, children, n_term)
+    counter = itertools.count()
+
+    def true_max_level() -> int:
+        if level_mod == 1:
+            return max_level
+        return max_level - (max_level - min_level) % level_mod
+
+    def new_candidate(cell_id: np.uint64):
+        """-> (cell_id, is_terminal) or None (NewCandidate, :90-111)."""
+        arr = np.array([cell_id], dtype=np.uint64)
+        if not bool(region.may_intersect_cells(arr)[0]):
+            return None
+        lvl = int(v1.level(arr)[0])
+        is_terminal = False
+        if lvl >= min_level:
+            if interior:
+                if bool(region.contains_cells(arr)[0]):
+                    is_terminal = True
+                elif lvl + level_mod > max_level:
+                    return None
+            else:
+                if lvl + level_mod > max_level or bool(
+                    region.contains_cells(arr)[0]
+                ):
+                    is_terminal = True
+        return (cell_id, is_terminal)
+
+    def expand_children(cell_id: np.uint64, num_levels: int):
+        """-> (children list of (id, is_terminal), num_terminals)."""
+        num_levels -= 1
+        kids = _children(cell_id)
+        out, n_term = [], 0
+        if num_levels > 0:
+            hit = region.may_intersect_cells(kids)
+            for k, ok in zip(kids, hit):
+                if ok:
+                    sub, sub_term = expand_children(k, num_levels)
+                    out.extend(sub)
+                    n_term += sub_term
+            return out, n_term
+        for k in kids:
+            cand = new_candidate(k)
+            if cand is not None:
+                out.append(cand)
+                if cand[1]:
+                    n_term += 1
+        return out, n_term
+
+    def add_candidate(cand):
+        if cand is None:
+            return
+        cell_id, is_terminal = cand
+        if is_terminal:
+            result.append(cell_id)
+            return
+        lvl = int(v1.level(np.array([cell_id], dtype=np.uint64))[0])
+        num_levels = 1 if lvl < min_level else level_mod
+        children, n_term = expand_children(cell_id, num_levels)
+        if not children:
+            return
+        if (
+            not interior
+            and n_term == 4 ** level_mod
+            and lvl >= min_level
+        ):
+            # all children terminal -> emit the parent instead (:163-171)
+            result.append(cell_id)
+            return
+        priority = -(
+            ((lvl << (2 * level_mod)) + len(children) << (2 * level_mod))
+            + n_term
+        )
+        heapq.heappush(pq, (priority, next(counter), cell_id, children))
+
+    # --- seed (GetInitialCandidates, :212-224) ---
+    seeds = np.asarray(region.cell_union_bound(), dtype=np.uint64)
+    seeds = cellunion.normalize(seeds)
+    # clamp seed levels into the level grid (AdjustCellLevels)
+    if level_mod > 1 and min_level > 0:
+        lv = v1.level(seeds)
+        adj = lv - np.where(lv > min_level, (lv - min_level) % level_mod, 0)
+        seeds = np.unique(np.where(adj < lv, v1.parent(seeds, adj), seeds))
+    for s in seeds:
+        add_candidate(new_candidate(np.uint64(s)))
+
+    # --- main loop (GetCoveringInternal, :226-283) ---
+    while pq and (not interior or len(result) < max_cells):
+        _, _, cell_id, children = heapq.heappop(pq)
+        lvl = int(v1.level(np.array([cell_id], dtype=np.uint64))[0])
+        if (
+            interior
+            or lvl < min_level
+            or len(children) == 1
+            or len(result) + len(pq) + len(children) <= max_cells
+        ):
+            for ch in children:
+                if interior and len(result) >= max_cells:
+                    break
+                add_candidate(ch)
+        else:
+            result.append(cell_id)
+
+    out = cellunion.normalize(np.array(result, dtype=np.uint64))
+    if min_level > 0 or level_mod > 1:
+        out = cellunion.denormalize(out, min_level, level_mod)
+    return out
