@@ -1,0 +1,842 @@
+"""Driver-contract queries and their DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 gets (a) a Spark implementation over
+the driver's parquet tables and (b) an ANSI-SQL oracle that DuckDB runs on
+the same tables. Column names/aliases are kept identical on both sides; all
+hash-compared outputs are integers/strings (or divisions of identical
+integers) so JVM-vs-C float formatting can't produce spurious mismatches.
+
+Spatial oracles express the S2 transform pipeline in raw SQL (trig -> face
+via argmax -> quadratic UV->ST -> truncation to ij), which independently
+validates the NumPy kernel + covering + join machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from s2geo_spark import functions as sf
+from s2geo_spark.kernel import cellid_v1 as v1
+from s2geo_spark.operators import knn as knn_op
+from s2geo_spark.operators import spatial
+from s2geo_spark.sources import fixtures as fx
+from s2geo_spark.sources import geo
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from s2geo_spark import deploy
+
+    deploy.ensure_on_workers(spark)  # --py-files equivalent, idempotent
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Geo oracle SQL fragments (the full S2 transform pipeline in SQL)
+# ---------------------------------------------------------------------------
+
+_XYZ_SQL = """
+    cos(radians(lat)) * cos(radians(lon)) AS x,
+    sin(radians(lon)) * cos(radians(lat)) AS y,
+    sin(radians(lat)) AS z
+"""
+
+_FACE_SQL = """
+    CASE WHEN abs(x) > abs(y) THEN
+           CASE WHEN abs(x) > abs(z) THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+                ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END
+         ELSE
+           CASE WHEN abs(y) > abs(z) THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+                ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END
+    END
+"""
+
+_UV_SQL = """
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+"""
+
+
+def _ij_sql(coord: str) -> str:
+    """Quadratic projection + truncate-clamp (s2coords.h:321-349) in SQL."""
+    st = (
+        f"CASE WHEN {coord} >= 0 THEN 0.5*sqrt(1+3*{coord}) "
+        f"ELSE 1-0.5*sqrt(1-3*{coord}) END"
+    )
+    return (
+        f"least(greatest(CAST(floor(1073741824 * ({st})) AS BIGINT), 0), 1073741823)"
+    )
+
+
+def _points_cte(table: str, key: str) -> str:
+    """CTE producing (point_id, lat, lon, x, y, z, face, u, v, i, j)."""
+    return f"""
+WITH pts AS ({geo.points_sql(table, key)}),
+xyz AS (SELECT point_id, lat, lon, {_XYZ_SQL} FROM pts),
+fc AS (SELECT *, {_FACE_SQL} AS face FROM xyz),
+fuv AS (SELECT *, {_UV_SQL} FROM fc),
+fij AS (SELECT *, {_ij_sql('u')} AS i, {_ij_sql('v')} AS j FROM fuv)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+_FIJ_SCHEMA = StructType(
+    [
+        StructField("face", IntegerType()),
+        StructField("i", LongType()),
+        StructField("j", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_FIJ_SCHEMA)
+def _face_ij_udf(cell: pd.Series) -> pd.DataFrame:
+    ids = cell.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+    f, i, j = v1.to_face_ij_orientation(ids)
+    return pd.DataFrame({"face": f.astype(np.int32), "i": i, "j": j})
+
+
+def _points_df(spark, sf_dir, table, key) -> DataFrame:
+    return geo.points_from(_t(spark, sf_dir, table), key)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_face_counts(spark, sf_dir):
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    return (
+        pts.withColumn("cell", sf.s2_cell_id("lat", "lon"))
+        .select(sf.s2_face_expr("cell").alias("face"))
+        .groupBy("face")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_face_counts():
+    return (
+        _points_cte("customer", "c_custkey")
+        + "SELECT face, count(*) AS cnt FROM fij GROUP BY face"
+    )
+
+
+def q_quad_counts(spark, sf_dir):
+    shift = 2 * (30 - fx.QUAD_LEVEL) - 8  # i>>22 at level 8
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    fij = pts.withColumn("cell", sf.s2_cell_id("lat", "lon")).withColumn(
+        "fij", _face_ij_udf("cell")
+    )
+    return (
+        fij.select(
+            F.col("fij.face").alias("face"),
+            F.shiftright(F.col("fij.i"), 22).alias("iq"),
+            F.shiftright(F.col("fij.j"), 22).alias("jq"),
+        )
+        .groupBy("face", "iq", "jq")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_quad_counts():
+    return (
+        _points_cte("orders", "o_orderkey")
+        + "SELECT face, i >> 22 AS iq, j >> 22 AS jq, count(*) AS cnt "
+        "FROM fij GROUP BY face, iq, jq"
+    )
+
+
+def q_cap_join(spark, sf_dir):
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    return spatial.cap_contains_join(pts, fx.CAPS).select(
+        "point_id", "cap_id"
+    )
+
+
+def o_cap_join():
+    caps = fx.cap_constants()
+    vals = ", ".join(f"({c[0]}, {c[1]!r}, {c[2]!r}, {c[3]!r}, {c[4]!r})" for c in caps)
+    return f"""
+WITH pts AS ({geo.points_sql('customer', 'c_custkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts),
+caps(cap_id, cx, cy, cz, len2) AS (VALUES {vals})
+SELECT point_id, cap_id
+FROM xyz, caps
+WHERE (x-cx)*(x-cx) + (y-cy)*(y-cy) + (z-cz)*(z-cz) <= len2
+"""
+
+
+def q_cap_counts(spark, sf_dir):
+    return (
+        q_cap_join(spark, sf_dir)
+        .groupBy("cap_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_cap_counts():
+    return f"WITH j AS ({o_cap_join()}) SELECT cap_id, count(*) AS cnt FROM j GROUP BY cap_id"
+
+
+def q_pip_join(spark, sf_dir):
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
+    return spatial.contains_join(pts, cov_df, prepared).select(
+        "point_id", "polygon_id"
+    )
+
+
+def o_pip_join():
+    parts = []
+    for pid in fx.PIP_POLYGONS:
+        conds = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)"
+            for w in fx.convex_edge_normals(pid)
+        )
+        parts.append(
+            f"SELECT point_id, CAST({pid} AS BIGINT) AS polygon_id FROM xyz WHERE {conds}"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH pts AS ({geo.points_sql('orders', 'o_orderkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
+{union}
+"""
+
+
+def q_pip_counts(spark, sf_dir):
+    return (
+        q_pip_join(spark, sf_dir)
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_pip_counts():
+    return (
+        f"WITH j AS ({o_pip_join()}) "
+        "SELECT polygon_id, count(*) AS cnt FROM j GROUP BY polygon_id"
+    )
+
+
+def q_rect_counts(spark, sf_dir):
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    out = None
+    for rid, lat_lo, lat_hi, lng_lo, lng_hi in fx.RECTS:
+        part = (
+            pts.filter(
+                (F.col("lat") >= lat_lo)
+                & (F.col("lat") <= lat_hi)
+                & (F.col("lon") >= lng_lo)
+                & (F.col("lon") <= lng_hi)
+            )
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(rid).cast("long").alias("rect_id"), "cnt")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def o_rect_counts():
+    parts = [
+        f"SELECT CAST({rid} AS BIGINT) AS rect_id, count(*) AS cnt FROM pts "
+        f"WHERE lat >= {lo!r} AND lat <= {hi!r} AND lon >= {llo!r} AND lon <= {lhi!r}"
+        for rid, lo, hi, llo, lhi in fx.RECTS
+    ]
+    return (
+        f"WITH pts AS ({geo.points_sql('customer', 'c_custkey')}) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def q_knn(spark, sf_dir):
+    queries = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("long").alias("query_id"),
+            geo.lat_col(F.col("n_nationkey") * 31 + 7).alias("lat"),
+            geo.lon_col(F.col("n_nationkey") * 31 + 7).alias("lon"),
+        )
+    )
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    return knn_op.knn_join(queries, pts, k=fx.KNN_K).select(
+        "query_id", "rank", F.col("point_id").alias("neighbor_id")
+    )
+
+
+def o_knn():
+    return f"""
+WITH q0 AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+            CAST(n_nationkey AS BIGINT)*31 + 7 AS qk FROM nation),
+q AS (SELECT query_id, {geo.lat_sql('qk')} AS lat, {geo.lon_sql('qk')} AS lon FROM q0),
+qxyz AS (SELECT query_id, {_XYZ_SQL} FROM q),
+p0 AS ({geo.points_sql('customer', 'c_custkey')}),
+pxyz AS (SELECT point_id, {_XYZ_SQL} FROM p0),
+d AS (SELECT query_id, point_id,
+        (qxyz.x-pxyz.x)*(qxyz.x-pxyz.x) + (qxyz.y-pxyz.y)*(qxyz.y-pxyz.y)
+      + (qxyz.z-pxyz.z)*(qxyz.z-pxyz.z) AS dist2
+      FROM qxyz CROSS JOIN pxyz),
+r AS (SELECT query_id, point_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rank
+      FROM d)
+SELECT query_id, rank, point_id AS neighbor_id FROM r WHERE rank <= {fx.KNN_K}
+"""
+
+
+# --- text / dedup over documents -------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+    )
+
+
+def o_dedup_exact():
+    return "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents"
+
+
+def q_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return words.groupBy("doc_id").agg(
+        F.min(F.md5("w")).alias("mh1"),
+        F.min(F.md5(F.concat(F.lit("salt:"), F.col("w")))).alias("mh2"),
+    )
+
+
+def o_minhash():
+    return """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, min(md5(w)) AS mh1, min(md5('salt:' || w)) AS mh2
+FROM words WHERE w <> '' GROUP BY doc_id
+"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sig = q_minhash(spark, sf_dir).select("doc_id", "mh1")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, F.col("a.mh1") == F.col("b.mh1"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+
+def o_lsh_pairs():
+    return f"""
+WITH sig AS (
+  SELECT doc_id, min(md5(w)) AS mh1 FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter") * 10 >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * 9
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+    )
+    return out
+
+
+def o_jaccard_pairs():
+    return """
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 9
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "row", "table"],
+    "code": ["spark", "hash", "merge", "scan"],
+    "data": ["key", "value", "batch", "agg"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (F.size(F.split(F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                            f" {w} ")) - 1)
+            for w in words
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(scores[langs[0]] == best, langs[0])
+    for lang in langs[1:]:
+        pred = pred.when(scores[lang] == best, lang)
+    return (
+        docs.select(pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_lang_id():
+    def score(words):
+        terms = [
+            "(length(' ' || text || ' ') - length(replace(' ' || text || ' ', "
+            f"' {w} ', ''))) / {len(w) + 2}"
+            for w in words
+        ]
+        return " + ".join(terms)
+
+    langs = list(_LANG_MARKERS)
+    scores = {lang: f"({score(ws)})" for lang, ws in _LANG_MARKERS.items()}
+    best = f"greatest({', '.join(scores[lang] for lang in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return (
+        f"SELECT {pred} AS pred_lang, count(*) AS cnt FROM documents "
+        "GROUP BY pred_lang"
+    )
+
+
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        (F.length("text") - F.length(F.regexp_replace("text", "e", ""))).alias(
+            "n_e"
+        ),
+    )
+
+
+def o_quality():
+    return """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+       len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_distinct,
+       length(text) - length(replace(text, 'e', '')) AS n_e
+FROM documents
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    return (
+        docs.select("lang", F.size(words).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
+
+
+def o_token_counts():
+    return """
+SELECT lang,
+       sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 15, F.lit(1)))
+        ).alias("pos"),
+        F.col("text"),
+    ).select("doc_id", F.md5(F.expr("substr(text, pos, 16)")).alias("h"))
+    return grams.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+def o_fingerprint():
+    return """
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 15, 1))) AS pos
+  FROM documents
+)
+SELECT doc_id, min(md5(substr(text, pos, 16))) AS fingerprint
+FROM g GROUP BY doc_id
+"""
+
+
+# --- events -----------------------------------------------------------------
+
+def q_event_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    return (
+        ev.select(
+            bucket.alias("bucket"),
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v_scaled"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("v_scaled").alias("v_sum"))
+    )
+
+
+def o_event_windows():
+    return """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
+       event_type,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS v_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("s", starts)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def o_sessionize():
+    return """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_top_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id")
+    )
+
+
+def o_top_events():
+    return """
+SELECT event_type, rank, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+# --- embeddings --------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cand = q.crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn("cos", dot / (norm(F.col("qe")) * norm(F.col("e"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def o_embedding_topk():
+    return """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val*val ORDER BY idx)) AS nrm FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.val * b.val ORDER BY a.idx) AS dot
+  FROM flat a JOIN flat b ON a.idx = b.idx
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (na.nrm * nb.nrm) AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    # sign-LSH against 4 fixed pseudo-random hyperplanes (deterministic:
+    # plane p component k = sin(1.0 + 17*p + k), same constant in oracle)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    import math
+
+    bucket = F.lit(0)
+    for p in range(4):
+        plane = [math.sin(1.0 + 17.0 * p + k) for k in range(64)]
+        dot = F.aggregate(
+            F.zip_with(
+                "e",
+                F.array(*[F.lit(c) for c in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_embedding_lsh_buckets():
+    # explicit 64-term left-associated sums: the float addition order is
+    # identical to Spark's F.aggregate fold, so dot products match exactly
+    import math
+
+    terms = []
+    for p in range(4):
+        plane = [math.sin(1.0 + 17.0 * p + k) for k in range(64)]
+        dot = "(0.0 " + " ".join(
+            f"+ CAST(embedding[{k + 1}] AS DOUBLE) * {c!r}" for k, c in enumerate(plane)
+        ) + ")"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return (
+        f"SELECT {bucket} AS bucket, count(*) AS cnt FROM embeddings GROUP BY bucket"
+    )
+
+
+# --- classic OLAP (engine breadth) -------------------------------------------
+
+def q_lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+                "qty_scaled"
+            ),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("price_scaled"),
+        )
+    )
+
+
+def o_lineitem_rollup():
+    return """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_scaled,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_scaled
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_scaled"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("spend_scaled"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", F.col("o_custkey").alias("custkey"), "spend_scaled")
+    )
+
+
+def o_top_customers():
+    return """
+SELECT rank, custkey, spend_scaled FROM (
+  SELECT o_custkey AS custkey,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_scaled,
+         row_number() OVER (
+           ORDER BY sum(CAST(floor(o_totalprice * 100) AS BIGINT)) DESC, o_custkey
+         ) AS rank
+  FROM orders GROUP BY o_custkey
+) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "s2_face_counts": q_face_counts,
+        "s2_quad_counts": q_quad_counts,
+        "s2_cap_join": q_cap_join,
+        "s2_cap_counts": q_cap_counts,
+        "s2_pip_join": q_pip_join,
+        "s2_pip_counts": q_pip_counts,
+        "s2_rect_counts": q_rect_counts,
+        "s2_knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_minhash,
+        "dedup_lsh_pairs": q_lsh_pairs,
+        "dedup_jaccard_pairs": q_jaccard_pairs,
+        "text_lang_id": q_lang_id,
+        "text_quality": q_quality,
+        "text_token_counts": q_token_counts,
+        "text_fingerprint": q_fingerprint,
+        "events_windowed": q_event_windows,
+        "events_sessionize": q_sessionize,
+        "events_topk": q_top_events,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "olap_lineitem_rollup": q_lineitem_rollup,
+        "olap_top_customers": q_top_customers,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "s2_face_counts": o_face_counts(),
+        "s2_quad_counts": o_quad_counts(),
+        "s2_cap_join": o_cap_join(),
+        "s2_cap_counts": o_cap_counts(),
+        "s2_pip_join": o_pip_join(),
+        "s2_pip_counts": o_pip_counts(),
+        "s2_rect_counts": o_rect_counts(),
+        "s2_knn": o_knn(),
+        "dedup_exact": o_dedup_exact(),
+        "dedup_minhash": o_minhash(),
+        "dedup_lsh_pairs": o_lsh_pairs(),
+        "dedup_jaccard_pairs": o_jaccard_pairs(),
+        "text_lang_id": o_lang_id(),
+        "text_quality": o_quality(),
+        "text_token_counts": o_token_counts(),
+        "text_fingerprint": o_fingerprint(),
+        "events_windowed": o_event_windows(),
+        "events_sessionize": o_sessionize(),
+        "events_topk": o_top_events(),
+        "embedding_topk": o_embedding_topk(),
+        "embedding_lsh_buckets": o_embedding_lsh_buckets(),
+        "olap_lineitem_rollup": o_lineitem_rollup(),
+        "olap_top_customers": o_top_customers(),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: spatial join + tile assignment on sf0.001 (SURVEY.md §3.3).
+
+    points (from orders) -> s2 leaf cells -> PIP join against the polygon
+    layer -> tile = level-10 ancestor -> per-(polygon, tile) page counts.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
+    pts_cells = pts.withColumn("cell", sf.s2_cell_id("lat", "lon"))
+    joined = spatial.contains_join(
+        pts_cells.select("point_id", "lat", "lon"), cov_df, prepared
+    )
+    back = joined.join(pts_cells.select("point_id", "cell"), "point_id")
+    return (
+        back.withColumn("tile", sf.tile_assign("cell", fx.TILE_LEVEL))
+        .groupBy("polygon_id", "tile")
+        .agg(F.count("*").alias("pages"))
+        .withColumn("tile_token", sf.s2_token_expr("tile"))
+        .select("polygon_id", "tile_token", "pages")
+    )

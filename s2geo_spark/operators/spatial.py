@@ -1,0 +1,230 @@
+"""Spatial joins: polygon/cap containment via the term-indexer scheme.
+
+The scalable plan (SURVEY.md §3.3, reference S2RegionTermIndexer,
+src/s2/s2region_term_indexer.cc:121-289):
+
+  polygon side  — covering cells at levels [min_level .. max_level]
+                  ("index terms"), split interior vs boundary
+  point side    — ancestors of the leaf cell at every level in that range
+                  ("query terms": pure int64 column math, no UDF)
+  candidates    — ONE hash equi-join on the cell id (broadcast when the
+                  polygon side is small, shuffle+AQE-skew otherwise)
+  exact residual— only pairs that matched a *boundary* cell run the exact
+                  crossing-parity PIP (Arrow-batched, grouped by polygon);
+                  interior-cell matches are contained by construction
+                  (the reference's contains_center fast path,
+                  src/s2/s2shape_index.h S2ClippedShape)
+
+Term-indexer defaults match the reference: max_cells=8, min_level=4,
+max_level=16, level_mod=1 (src/s2/s2region_term_indexer.cc:96-102).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s2geo_spark import functions as sf
+from s2geo_spark.kernel import cellid_v1 as v1
+from s2geo_spark.kernel import coverer, loops, regions
+
+TERM_MIN_LEVEL = 4
+TERM_MAX_LEVEL = 16
+TERM_MAX_CELLS = 8
+
+
+# ---------------------------------------------------------------------------
+# Polygon prep: loops -> covering table (small layers: driver-side NumPy)
+# ---------------------------------------------------------------------------
+
+def prepare_polygons(
+    spark: SparkSession,
+    polygons: dict[int, np.ndarray],
+    min_level: int = TERM_MIN_LEVEL,
+    max_level: int = TERM_MAX_LEVEL,
+    max_cells: int = TERM_MAX_CELLS,
+) -> tuple[DataFrame, dict[int, loops.PreparedLoop]]:
+    """polygons: {polygon_id: (m,3) vertex array (CCW loop)}.
+
+    Returns (covering_df, prepared) where covering_df has columns
+    (polygon_id long, cell long, is_interior boolean) — the Spark-side
+    shape index — and prepared holds the exact-test machinery.
+    """
+    prepared = {pid: loops.PreparedLoop(vs) for pid, vs in polygons.items()}
+    rows = []
+    for pid, lp in prepared.items():
+        cov = coverer.get_covering(
+            lp, max_cells=max_cells, min_level=min_level, max_level=max_level
+        )
+        # interior flag per covering cell: cell fully inside the loop ->
+        # candidate pairs through it skip the exact PIP (contains_center
+        # fast path, s2shape_index.h)
+        inside_mask = lp.contains_cells(cov)
+        for cid, is_int in zip(cov, inside_mask):
+            rows.append((pid, int(np.int64(np.uint64(cid))), bool(is_int)))
+    pdf = pd.DataFrame(rows, columns=["polygon_id", "cell", "is_interior"])
+    pdf = pdf.drop_duplicates()
+    df = spark.createDataFrame(pdf)
+    return df, prepared
+
+
+def point_terms(points: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Explode each point's ancestors at levels [4..16] — the query terms.
+
+    Pure column math (s2_parent is a mask+or per level): stays in
+    whole-stage codegen; the explode is narrow.
+    """
+    ancestors = F.array(
+        *[sf.s2_parent(cell_col, L) for L in range(TERM_MIN_LEVEL, TERM_MAX_LEVEL + 1)]
+    )
+    return points.withColumn("term", F.explode(ancestors))
+
+
+def contains_join(
+    points: DataFrame,
+    covering: DataFrame,
+    prepared: dict[int, loops.PreparedLoop],
+    point_id: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_covering: bool = True,
+) -> DataFrame:
+    """points (id, lat, lon) x polygons -> (point columns..., polygon_id).
+
+    Exact semantics: SEMI_OPEN vertex model, identical to the reference's
+    S2ContainsPointQuery default (s2contains_point_query.h:62-65).
+    """
+    pts = points.withColumn("cell", sf.s2_cell_id(lat, lon)).filter(
+        F.col("cell") != 0
+    )
+    terms = point_terms(pts)
+    cov = F.broadcast(covering) if broadcast_covering else covering
+    cand = terms.join(cov, terms["term"] == cov["cell"], "inner").drop(
+        "term", "cell"
+    )
+    # interior matches are definitely inside; boundary matches need exact PIP
+    sure = cand.filter(F.col("is_interior")).drop("is_interior")
+    boundary = cand.filter(~F.col("is_interior")).drop("is_interior")
+
+    # exact residual: vectorized crossing-parity PIP per polygon batch
+    poly_data = {
+        int(pid): (lp.vertices, bool(lp.origin_inside))
+        for pid, lp in prepared.items()
+    }
+    bc = points.sparkSession.sparkContext.broadcast(poly_data)
+    out_schema = boundary.drop(lat, lon).schema
+    lat_name, lon_name = lat, lon
+
+    def pip_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        from s2geo_spark.kernel import s2coords as _sc
+
+        keep = _np.zeros(len(pdf), dtype=bool)
+        for pid, grp in pdf.groupby("polygon_id"):
+            verts, _origin_inside = bc.value[int(pid)]
+            lp = _get_cached_loop(int(pid), verts)
+            x, y, z = _sc.latlng_degrees_to_xyz(
+                grp[lat_name].to_numpy(), grp[lon_name].to_numpy()
+            )
+            pts3 = _np.stack([x, y, z], axis=1)
+            inside = lp.contains_points(pts3)
+            keep[pdf.index.get_indexer(grp.index)] = inside
+        return pdf.loc[keep].drop(columns=[lat_name, lon_name])
+
+    def pip_iter(batches):
+        for pdf in batches:
+            yield pip_batch(pdf)
+
+    # mapInPandas: per-partition Arrow batches, no extra shuffle
+    resolved = boundary.mapInPandas(pip_iter, schema=out_schema)
+    return sure.drop(lat, lon).unionByName(resolved)
+
+
+_LOOP_CACHE: dict = {}
+
+
+def _get_cached_loop(pid: int, verts):
+    """Per-worker PreparedLoop cache. Keyed by polygon id + a vertex
+    fingerprint so distinct layers reusing ids don't collide."""
+    key = (pid, verts.shape[0], float(verts[0, 0]), float(verts[-1, 2]))
+    lp = _LOOP_CACHE.get(key)
+    if lp is None:
+        lp = loops.PreparedLoop(verts)
+        _LOOP_CACHE[key] = lp
+    return lp
+
+
+# ---------------------------------------------------------------------------
+# Cap containment join (distance-style predicate, fully JVM-side residual)
+# ---------------------------------------------------------------------------
+
+def xyz_cols(df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Attach unit-vector columns (pure Catalyst trig — no UDF)."""
+    phi = F.radians(F.col(lat))
+    theta = F.radians(F.col(lon))
+    return df.withColumns(
+        {
+            "px": F.cos(theta) * F.cos(phi),
+            "py": F.sin(theta) * F.cos(phi),
+            "pz": F.sin(phi),
+        }
+    )
+
+
+def cap_contains_join(
+    points: DataFrame,
+    caps: list[tuple[int, float, float, float]],
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """points x caps [(cap_id, lat, lon, radius_deg)] -> rows + cap_id.
+
+    Plan: per-cap covering (driver NumPy, broadcast) -> ancestor equi-join
+    -> exact chord-distance filter as a Catalyst expression (no UDF in the
+    residual — chord^2 <= r^2 is plain arithmetic).
+    """
+    spark = points.sparkSession
+    rows = []
+    for cap_id, clat, clon, radius_deg in caps:
+        cap = regions.Cap.from_latlng_radius_degrees(clat, clon, radius_deg)
+        cov = coverer.get_covering(
+            cap,
+            max_cells=TERM_MAX_CELLS,
+            min_level=TERM_MIN_LEVEL,
+            max_level=TERM_MAX_LEVEL,
+        )
+        for cid in cov:
+            rows.append(
+                (
+                    cap_id,
+                    int(np.int64(np.uint64(cid))),
+                    float(cap.center[0]),
+                    float(cap.center[1]),
+                    float(cap.center[2]),
+                    cap.length2,
+                )
+            )
+    cov_df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["cap_id", "cell", "cx", "cy", "cz", "len2"]
+        )
+    )
+    pts = xyz_cols(
+        points.withColumn("cell", sf.s2_cell_id(lat, lon)).filter(F.col("cell") != 0),
+        lat,
+        lon,
+    )
+    terms = point_terms(pts)
+    cand = terms.join(F.broadcast(cov_df), terms["term"] == cov_df["cell"], "inner")
+    chord2 = (
+        (F.col("px") - F.col("cx")) ** 2
+        + (F.col("py") - F.col("cy")) ** 2
+        + (F.col("pz") - F.col("cz")) ** 2
+    )
+    return (
+        cand.filter(chord2 <= F.col("len2"))
+        .drop("term", "cell", "cx", "cy", "cz", "len2", "px", "py", "pz")
+    )

@@ -1,0 +1,62 @@
+"""Shared fixture constants for the driver-contract queries.
+
+The same cap / polygon / parameter constants feed BOTH the Spark query and
+the DuckDB oracle SQL so results are comparable bit-for-bit. Geometry is
+chosen to overlap the deterministic point derivations in sources/geo.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from s2geo_spark.kernel import loops, regions
+
+# --- caps: (cap_id, lat, lon, radius_deg) ---------------------------------
+CAPS = [
+    (0, 40.0, -74.0, 12.0),
+    (1, -25.0, 135.0, 20.0),
+    (2, 70.0, 20.0, 8.0),
+]
+
+
+def cap_constants():
+    """[(cap_id, cx, cy, cz, chord2)] as plain floats for SQL inlining."""
+    out = []
+    for cap_id, lat, lon, r in CAPS:
+        cap = regions.Cap.from_latlng_radius_degrees(lat, lon, r)
+        out.append(
+            (cap_id, float(cap.center[0]), float(cap.center[1]), float(cap.center[2]), cap.length2)
+        )
+    return out
+
+
+# --- convex polygons (CCW quads) for the PIP join -------------------------
+PIP_POLYGONS = {
+    1: "30:-90, 30:-60, 50:-60, 50:-90",   # North-America-ish box
+    2: "-40:100, -40:140, -10:140, -10:100",  # Australia-ish box
+    3: "40:-10, 40:30, 65:30, 65:-10",     # Europe-ish box
+}
+
+
+def pip_loops() -> dict[int, np.ndarray]:
+    return {pid: loops.parse_loop_text(t) for pid, t in PIP_POLYGONS.items()}
+
+
+def convex_edge_normals(pid: int):
+    """For the oracle: inward normals w_k = v_k x v_{k+1} of the CCW loop —
+    point strictly inside <=> w_k . p > 0 for all k."""
+    vs = pip_loops()[pid]
+    d = np.roll(vs, -1, axis=0)
+    w = np.cross(vs, d)
+    return [tuple(float(c) for c in row) for row in w]
+
+
+# --- rects: (rect_id, lat_lo, lat_hi, lng_lo, lng_hi) ----------------------
+RECTS = [
+    (0, 30.0, 55.0, -10.0, 40.0),
+    (1, -40.0, 5.0, -80.0, -30.0),
+]
+
+KNN_K = 3
+QUAD_LEVEL = 8      # quad-key rollup level (face, i>>22, j>>22)
+TILE_LEVEL = 10

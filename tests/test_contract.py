@@ -1,0 +1,78 @@
+"""Mini-driver: run every contract query on Spark AND its oracle SQL on
+DuckDB at sf0.001, compare row counts and order-insensitive values — the
+same gate the driver applies (CORRECTNESS_r{N}.json) at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    # normalize integer-like to int64, floats rounded for comparison
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(9)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    got = normalize(q(spark, SF_DIR).toPandas())
+    assert sql is not None, f"{name} has no oracle"
+    want = normalize(ddb.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        name,
+        list(got.columns),
+        list(want.columns),
+    )
+    assert len(got) == len(want), (name, len(got), len(want))
+    for c in got.columns:
+        gv, wv = got[c].to_numpy(), want[c].to_numpy()
+        if gv.dtype.kind == "f":
+            assert np.allclose(gv, wv, atol=1e-9), (name, c)
+        else:
+            eq = gv == wv
+            assert eq.all(), (name, c, gv[~eq][:5], wv[~eq][:5])
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"polygon_id", "tile_token", "pages"}
+    assert len(rows) > 0  # the fixture polygons do catch synthetic points

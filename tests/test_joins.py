@@ -1,0 +1,181 @@
+"""Spatial join operators vs brute-force NumPy oracles (FIXTURES.md F5/F6).
+
+PIP join oracle = the same crossing-parity algorithm run directly (the
+reference's BruteForceContains pattern, src/s2/s2loop.cc:589-599); kNN
+oracle = exhaustive chord-distance scan with (dist, point_id) tie-break
+(src/s2/s2closest_point_query_base.h result ordering)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2geo_spark.kernel import loops, regions, s2coords as sc
+from s2geo_spark.operators import knn as knn_op
+from s2geo_spark.operators import spatial
+
+RNG = np.random.default_rng(1234)
+N_POINTS = 4000
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    # mix: clustered around polygon areas + uniform sphere
+    n_u = N_POINTS // 2
+    v = RNG.normal(size=(3, n_u))
+    v /= np.sqrt((v * v).sum(axis=0))
+    lat_u = np.degrees(np.arcsin(np.clip(v[2], -1, 1)))
+    lon_u = np.degrees(np.arctan2(v[1], v[0]))
+    n_c = N_POINTS - n_u
+    lat_c = 47.0 + RNG.uniform(-2, 2, n_c)
+    lon_c = 8.0 + RNG.uniform(-2, 2, n_c)
+    return pd.DataFrame(
+        {
+            "point_id": np.arange(N_POINTS, dtype=np.int64),
+            "lat": np.concatenate([lat_u, lat_c]),
+            "lon": np.concatenate([lon_u, lon_c]),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def points_df(spark, points_pdf):
+    return spark.createDataFrame(points_pdf).repartition(8)
+
+
+POLYGONS = {
+    1: loops.parse_loop_text("46:7, 46:9, 48:9, 48:7"),  # box around cluster
+    2: loops.make_regular_loop(47.0, 8.0, 1.5, 16),  # 16-gon, overlapping
+    3: loops.make_regular_loop(-30.0, 120.0, 8.0, 512),  # big far k-gon
+    4: loops.parse_loop_text("88:0, 88:120, 88:-120"),  # polar triangle
+}
+
+
+class TestContainsJoin:
+    def test_matches_bruteforce(self, spark, points_df, points_pdf):
+        cov_df, prepared = spatial.prepare_polygons(spark, POLYGONS)
+        got = (
+            spatial.contains_join(points_df, cov_df, prepared)
+            .select("point_id", "polygon_id")
+            .toPandas()
+            .sort_values(["point_id", "polygon_id"])
+            .reset_index(drop=True)
+        )
+        # oracle
+        x, y, z = sc.latlng_degrees_to_xyz(
+            points_pdf["lat"].to_numpy(), points_pdf["lon"].to_numpy()
+        )
+        pts = np.stack([x, y, z], axis=1)
+        rows = []
+        for pid, verts in POLYGONS.items():
+            lp = loops.PreparedLoop(verts)
+            # scalar reference path — fully independent of the batched path
+            inside = np.array(
+                [lp._contains_point_scalar(p) for p in pts], dtype=bool
+            )
+            for idx in np.nonzero(inside)[0]:
+                rows.append((int(points_pdf["point_id"].iloc[idx]), pid))
+        want = (
+            pd.DataFrame(rows, columns=["point_id", "polygon_id"])
+            .sort_values(["point_id", "polygon_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), (len(got), len(want))
+        assert (got["point_id"].to_numpy() == want["point_id"].to_numpy()).all()
+        assert (got["polygon_id"].to_numpy() == want["polygon_id"].to_numpy()).all()
+
+    def test_boundary_vertex_points(self, spark):
+        # points exactly on polygon vertices/edges: SEMI_OPEN determinism —
+        # spark path must agree with the scalar exact path
+        verts = loops.parse_loop_text("10:10, 10:12, 12:12, 12:10")
+        lp = loops.PreparedLoop(verts)
+        vlat, vlng = sc.xyz_to_latlng_degrees(
+            verts[:, 0], verts[:, 1], verts[:, 2]
+        )
+        edge_mid = 0.5 * (verts[0] + verts[1])
+        edge_mid /= np.linalg.norm(edge_mid)
+        mlat, mlng = sc.xyz_to_latlng_degrees(
+            edge_mid[None, 0], edge_mid[None, 1]
+        ) if False else sc.xyz_to_latlng_degrees(
+            np.array([edge_mid[0]]), np.array([edge_mid[1]]), np.array([edge_mid[2]])
+        )
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(5, dtype=np.int64),
+                "lat": np.concatenate([vlat, mlat]),
+                "lon": np.concatenate([vlng, mlng]),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        cov_df, prepared = spatial.prepare_polygons(spark, {7: verts})
+        got = set(
+            spatial.contains_join(df, cov_df, prepared)
+            .select("point_id")
+            .toPandas()["point_id"]
+        )
+        x, y, z = sc.latlng_degrees_to_xyz(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+        want = {
+            int(pdf["point_id"].iloc[i])
+            for i in range(5)
+            if lp._contains_point_scalar(np.array([x[i], y[i], z[i]]))
+        }
+        assert got == want
+
+
+class TestCapJoin:
+    def test_matches_chord_oracle(self, spark, points_df, points_pdf):
+        caps = [
+            (0, 47.0, 8.0, 1.0),
+            (1, -10.0, 100.0, 15.0),
+            (2, 89.0, 0.0, 3.0),
+        ]
+        got = (
+            spatial.cap_contains_join(points_df, caps)
+            .select("point_id", "cap_id")
+            .toPandas()
+        )
+        x, y, z = sc.latlng_degrees_to_xyz(
+            points_pdf["lat"].to_numpy(), points_pdf["lon"].to_numpy()
+        )
+        want_pairs = set()
+        for cap_id, clat, clon, r in caps:
+            cap = regions.Cap.from_latlng_radius_degrees(clat, clon, r)
+            inside = cap.contains_points(x, y, z)
+            for idx in np.nonzero(inside)[0]:
+                want_pairs.add((int(points_pdf["point_id"].iloc[idx]), cap_id))
+        got_pairs = set(zip(got["point_id"], got["cap_id"]))
+        assert got_pairs == want_pairs
+
+
+class TestKnnJoin:
+    def test_matches_bruteforce(self, spark, points_df, points_pdf):
+        qpdf = pd.DataFrame(
+            {
+                "query_id": np.arange(25, dtype=np.int64),
+                "lat": np.concatenate(
+                    [47.0 + RNG.uniform(-1, 1, 15), RNG.uniform(-80, 80, 10)]
+                ),
+                "lon": np.concatenate(
+                    [8.0 + RNG.uniform(-1, 1, 15), RNG.uniform(-180, 180, 10)]
+                ),
+            }
+        )
+        k = 5
+        got = (
+            knn_op.knn_join(spark.createDataFrame(qpdf), points_df, k=k)
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        # oracle: exhaustive chord scan
+        px, py, pz = sc.latlng_degrees_to_xyz(
+            points_pdf["lat"].to_numpy(), points_pdf["lon"].to_numpy()
+        )
+        qx, qy, qz = sc.latlng_degrees_to_xyz(
+            qpdf["lat"].to_numpy(), qpdf["lon"].to_numpy()
+        )
+        for qi in range(len(qpdf)):
+            d2 = (px - qx[qi]) ** 2 + (py - qy[qi]) ** 2 + (pz - qz[qi]) ** 2
+            order = np.lexsort((points_pdf["point_id"].to_numpy(), d2))
+            want_ids = points_pdf["point_id"].to_numpy()[order[:k]].tolist()
+            got_ids = got[got["query_id"] == qi]["point_id"].tolist()
+            assert got_ids == want_ids, f"query {qi}"
