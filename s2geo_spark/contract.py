@@ -355,52 +355,94 @@ FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
 """
 
 
-def q_jaccard_pairs(spark, sf_dir):
+def _shingles(spark, sf_dir):
+    """Distinct 12-char shingles per doc — the near-dup unit.
+
+    The scalable pattern: all-pairs token joins blow up on common tokens
+    (O(sum df^2)); instead LSH (minhash bands) proposes candidates and the
+    exact Jaccard runs on candidates only.
+    """
     docs = _t(spark, sf_dir, "documents")
-    words = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(1)))
+            ).alias("pos"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, pos, 12)").alias("g"))
         .distinct()
     )
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = words.alias("a")
-    b = words.alias("b")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    # sh feeds sizes, signatures, and both sides of the intersection join —
+    # cache it or the explode+distinct runs four times
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sig = sh.groupBy("doc_id").agg(
+        F.min(F.md5("g")).alias("mh1"),
+        F.min(F.md5(F.concat(F.lit("salt:"), F.col("g")))).alias("mh2"),
+    )
+    pairs = None
+    for band in ("mh1", "mh2"):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
+        b = sig.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
+        p = a.join(b, "b").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("ga") == F.col("gb"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("n_inter") * 10 >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * 9
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b").select(
+            "doc_a", "doc_b", "n_inter", "n_a", "n_b"
         )
-        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
     )
-    return out
 
 
 def o_jaccard_pairs():
     return """
-WITH words AS (
-  SELECT DISTINCT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-  ) WHERE w <> ''
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, pos, 12) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 11, 1))) AS pos
+        FROM documents)
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, min(md5(g)) AS mh1, min(md5('salt:' || g)) AS mh2
+        FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+    FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+  )
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM pairs
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.g = sa.g
+  GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 9
 """
 
 
@@ -826,15 +868,13 @@ def entry(spark: SparkSession) -> DataFrame:
     layer -> tile = level-10 ancestor -> per-(polygon, tile) page counts.
     """
     sf_dir = "/root/testdata/sf0.001"
-    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
-    cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
-    pts_cells = pts.withColumn("cell", sf.s2_cell_id("lat", "lon"))
-    joined = spatial.contains_join(
-        pts_cells.select("point_id", "lat", "lon"), cov_df, prepared
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey").withColumn(
+        "cell", sf.s2_cell_id("lat", "lon")
     )
-    back = joined.join(pts_cells.select("point_id", "cell"), "point_id")
+    cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
+    joined = spatial.contains_join(pts, cov_df, prepared)  # keeps `cell`
     return (
-        back.withColumn("tile", sf.tile_assign("cell", fx.TILE_LEVEL))
+        joined.withColumn("tile", sf.tile_assign("cell", fx.TILE_LEVEL))
         .groupBy("polygon_id", "tile")
         .agg(F.count("*").alias("pages"))
         .withColumn("tile_token", sf.s2_token_expr("tile"))

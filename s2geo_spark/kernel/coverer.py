@@ -55,32 +55,46 @@ def get_covering(
             return max_level
         return max_level - (max_level - min_level) % level_mod
 
-    def new_candidate(cell_id: np.uint64):
-        """-> (cell_id, is_terminal) or None (NewCandidate, :90-111)."""
-        arr = np.array([cell_id], dtype=np.uint64)
-        if not bool(region.may_intersect_cells(arr)[0]):
-            return None
-        lvl = int(v1.level(arr)[0])
-        is_terminal = False
-        if lvl >= min_level:
+    def new_candidates_batch(cells: np.ndarray):
+        """Batched NewCandidate (:90-111) over same-level cells.
+        Returns (list of (cell_id, is_terminal), num_terminals)."""
+        cells = np.asarray(cells, dtype=np.uint64)
+        if cells.size == 0:
+            return [], 0
+        mi = region.may_intersect_cells(cells)
+        cells = cells[mi]
+        if cells.size == 0:
+            return [], 0
+        lvl = int(v1.level(cells[:1])[0])
+        out, n_term = [], 0
+        if lvl < min_level:
+            return [(c, False) for c in cells], 0
+        if not interior and lvl + level_mod > max_level:
+            return [(c, True) for c in cells], len(cells)
+        contained = region.contains_cells(cells)
+        for c, inside in zip(cells, contained):
             if interior:
-                if bool(region.contains_cells(arr)[0]):
-                    is_terminal = True
-                elif lvl + level_mod > max_level:
-                    return None
+                if inside:
+                    out.append((c, True))
+                    n_term += 1
+                elif lvl + level_mod <= max_level:
+                    out.append((c, False))
             else:
-                if lvl + level_mod > max_level or bool(
-                    region.contains_cells(arr)[0]
-                ):
-                    is_terminal = True
-        return (cell_id, is_terminal)
+                terminal = inside or (lvl + level_mod > max_level)
+                out.append((c, terminal))
+                n_term += int(terminal)
+        return out, n_term
+
+    def new_candidate(cell_id: np.uint64):
+        cands, _ = new_candidates_batch(np.array([cell_id], dtype=np.uint64))
+        return cands[0] if cands else None
 
     def expand_children(cell_id: np.uint64, num_levels: int):
         """-> (children list of (id, is_terminal), num_terminals)."""
         num_levels -= 1
         kids = _children(cell_id)
-        out, n_term = [], 0
         if num_levels > 0:
+            out, n_term = [], 0
             hit = region.may_intersect_cells(kids)
             for k, ok in zip(kids, hit):
                 if ok:
@@ -88,13 +102,7 @@ def get_covering(
                     out.extend(sub)
                     n_term += sub_term
             return out, n_term
-        for k in kids:
-            cand = new_candidate(k)
-            if cand is not None:
-                out.append(cand)
-                if cand[1]:
-                    n_term += 1
-        return out, n_term
+        return new_candidates_batch(kids)
 
     def add_candidate(cand):
         if cand is None:

@@ -68,6 +68,11 @@ class PreparedLoop:
         w2 = np.cross(d, a[None, :])
         w3 = np.cross(c, d)
         self.W = np.concatenate([w1, w2, w3], axis=1).reshape(m, 3, 3)
+        # flat (3, 3m) layout for one BLAS dgemm per point chunk:
+        # column 3*i+j holds W[i, j, :]
+        self.W_flat = np.ascontiguousarray(
+            self.W.reshape(3 * m, 3).T
+        )
         # constant sign k = Sign(c, d, a) per edge, exact where uncertain
         k = np.empty(m, dtype=np.int8)
         for i in range(m):
@@ -149,24 +154,28 @@ class PreparedLoop:
         m = self.vertices.shape[0]
         if n == 0:
             return np.zeros(0, dtype=bool)
-        # dets: (n, m, 3) = points . W
-        dets = np.einsum("nk,mjk->nmj", points, self.W)
-        s = np.sign(dets).astype(np.int8)
-        uncertain = (np.abs(dets) <= _BATCH_DET_ERROR).any(axis=2)
-        s1, s2, s3 = s[:, :, 0], s[:, :, 1], s[:, :, 2]
-        acb = -s1
-        bda = s2
-        cbd = -s3
-        k = self.k_sign[None, :]
-        crossing = (acb == bda) & (bda == cbd) & (cbd == k) & (acb != 0)
-        crossing &= ~uncertain
-        parity = (crossing.sum(axis=1) & 1).astype(bool)
-        inside = parity ^ self.origin_inside
-
-        # exact residue: points with any uncertain (point, edge) pair
-        bad_rows = np.nonzero(uncertain.any(axis=1))[0]
-        for r in bad_rows:
-            inside[r] = self._contains_point_scalar(points[r])
+        inside = np.empty(n, dtype=bool)
+        # chunked so the (chunk, 3m) det matrix stays cache/memory friendly
+        chunk = max(256, min(n, (1 << 22) // max(m, 1)))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            b = points[lo:hi]
+            dets = b @ self.W_flat  # (nc, 3m) — one dgemm
+            dets = dets.reshape(hi - lo, m, 3)
+            s = np.sign(dets).astype(np.int8)
+            uncertain = (np.abs(dets) <= _BATCH_DET_ERROR).any(axis=2)
+            acb = -s[:, :, 0]
+            bda = s[:, :, 1]
+            cbd = -s[:, :, 2]
+            k = self.k_sign[None, :]
+            crossing = (acb == bda) & (bda == cbd) & (cbd == k) & (acb != 0)
+            crossing &= ~uncertain
+            parity = (crossing.sum(axis=1) & 1).astype(bool)
+            ins = parity ^ self.origin_inside
+            # exact residue: points with any uncertain (point, edge) pair
+            for r in np.nonzero(uncertain.any(axis=1))[0]:
+                ins[r] = self._contains_point_scalar(b[r])
+            inside[lo:hi] = ins
         return inside
 
     def _contains_point_scalar(self, p) -> bool:

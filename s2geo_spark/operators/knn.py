@@ -116,6 +116,12 @@ def knn_join(
         remaining = remaining.join(
             F.broadcast(resolved_ids), query_id, "left_anti"
         )
+        # driver-side early exit: most rounds resolve everything — skip the
+        # remaining rounds' jobs entirely (one cheap isEmpty action per round)
+        remaining = remaining.cache()
+        if remaining.isEmpty():
+            remaining = remaining.sparkSession.createDataFrame([], remaining.schema)
+            break
         level -= 2
         if level < 0:
             break

@@ -39,6 +39,9 @@ TERM_MAX_CELLS = 8
 # Polygon prep: loops -> covering table (small layers: driver-side NumPy)
 # ---------------------------------------------------------------------------
 
+_PREP_CACHE: dict = {}
+
+
 def prepare_polygons(
     spark: SparkSession,
     polygons: dict[int, np.ndarray],
@@ -51,7 +54,22 @@ def prepare_polygons(
     Returns (covering_df, prepared) where covering_df has columns
     (polygon_id long, cell long, is_interior boolean) — the Spark-side
     shape index — and prepared holds the exact-test machinery.
+
+    Driver-side results are memoized per (polygon set, options): polygon
+    prep is the one-time build side of the join (in production the covering
+    table is materialized to storage and reused across scans, SURVEY §3.2).
     """
+    key = (
+        tuple(
+            (pid, vs.shape[0], vs.tobytes()[:64]) for pid, vs in sorted(polygons.items())
+        ),
+        min_level,
+        max_level,
+        max_cells,
+        id(spark),
+    )
+    if key in _PREP_CACHE:
+        return _PREP_CACHE[key]
     prepared = {pid: loops.PreparedLoop(vs) for pid, vs in polygons.items()}
     rows = []
     for pid, lp in prepared.items():
@@ -67,6 +85,7 @@ def prepare_polygons(
     pdf = pd.DataFrame(rows, columns=["polygon_id", "cell", "is_interior"])
     pdf = pdf.drop_duplicates()
     df = spark.createDataFrame(pdf)
+    _PREP_CACHE[key] = (df, prepared)
     return df, prepared
 
 
@@ -90,31 +109,37 @@ def contains_join(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_covering: bool = True,
+    rebalance: bool = True,
 ) -> DataFrame:
     """points (id, lat, lon) x polygons -> (point columns..., polygon_id).
 
     Exact semantics: SEMI_OPEN vertex model, identical to the reference's
     S2ContainsPointQuery default (s2contains_point_query.h:62-65).
     """
-    pts = points.withColumn("cell", sf.s2_cell_id(lat, lon)).filter(
-        F.col("cell") != 0
-    )
+    if "cell" in points.columns:
+        # caller already encoded (and can carry the column through)
+        pts = points.filter(F.col("cell") != 0)
+    else:
+        pts = points.withColumn("cell", sf.s2_cell_id(lat, lon)).filter(
+            F.col("cell") != 0
+        )
     terms = point_terms(pts)
-    cov = F.broadcast(covering) if broadcast_covering else covering
-    cand = terms.join(cov, terms["term"] == cov["cell"], "inner").drop(
-        "term", "cell"
+    cov = covering.withColumnRenamed("cell", "cov_cell")
+    cov = F.broadcast(cov) if broadcast_covering else cov
+    cand = terms.join(cov, terms["term"] == cov["cov_cell"], "inner").drop(
+        "term", "cov_cell"
     )
-    # interior matches are definitely inside; boundary matches need exact PIP
-    sure = cand.filter(F.col("is_interior")).drop("is_interior")
-    boundary = cand.filter(~F.col("is_interior")).drop("is_interior")
 
-    # exact residual: vectorized crossing-parity PIP per polygon batch
+    # Single pass: interior-cell matches stream through untouched (the
+    # contains_center fast path); only boundary-cell rows run the exact
+    # crossing-parity PIP. One mapInPandas, no plan branch — the upstream
+    # scan/encode runs exactly once.
     poly_data = {
         int(pid): (lp.vertices, bool(lp.origin_inside))
         for pid, lp in prepared.items()
     }
     bc = points.sparkSession.sparkContext.broadcast(poly_data)
-    out_schema = boundary.drop(lat, lon).schema
+    out_schema = cand.drop(lat, lon, "is_interior").schema
     lat_name, lon_name = lat, lon
 
     def pip_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,8 +147,9 @@ def contains_join(
 
         from s2geo_spark.kernel import s2coords as _sc
 
-        keep = _np.zeros(len(pdf), dtype=bool)
-        for pid, grp in pdf.groupby("polygon_id"):
+        keep = pdf["is_interior"].to_numpy(dtype=bool).copy()
+        boundary = pdf.loc[~keep]
+        for pid, grp in boundary.groupby("polygon_id"):
             verts, _origin_inside = bc.value[int(pid)]
             lp = _get_cached_loop(int(pid), verts)
             x, y, z = _sc.latlng_degrees_to_xyz(
@@ -132,15 +158,21 @@ def contains_join(
             pts3 = _np.stack([x, y, z], axis=1)
             inside = lp.contains_points(pts3)
             keep[pdf.index.get_indexer(grp.index)] = inside
-        return pdf.loc[keep].drop(columns=[lat_name, lon_name])
+        return pdf.loc[keep].drop(columns=[lat_name, lon_name, "is_interior"])
 
     def pip_iter(batches):
         for pdf in batches:
             yield pip_batch(pdf)
 
-    # mapInPandas: per-partition Arrow batches, no extra shuffle
-    resolved = boundary.mapInPandas(pip_iter, schema=out_schema)
-    return sure.drop(lat, lon).unionByName(resolved)
+    if rebalance:
+        # explicit skew handling: candidates cluster in hot cells (dense
+        # urban tiles), so the exact-PIP work is wildly uneven across input
+        # splits — one cheap round-robin shuffle of the (small) candidate
+        # set balances the Python stage (north_rule skew splitting)
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    return cand.mapInPandas(pip_iter, schema=out_schema)
 
 
 _LOOP_CACHE: dict = {}
