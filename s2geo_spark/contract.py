@@ -293,6 +293,118 @@ SELECT query_id, rank, point_id AS neighbor_id FROM r WHERE rank <= {fx.KNN_K}
 """
 
 
+def q_distance_join(spark, sf_dir):
+    """suppliers x customers within 500 km (operators/distance.py)."""
+    from s2geo_spark.operators import distance as dist_op
+
+    left = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("left_id"),
+        geo.lat_col("s_suppkey").alias("lat"),
+        geo.lon_col("s_suppkey").alias("lon"),
+    )
+    right = _points_df(spark, sf_dir, "customer", "c_custkey").withColumnRenamed(
+        "point_id", "right_id"
+    )
+    return dist_op.distance_join(left, right, 500_000.0).select(
+        "left_id", "right_id"
+    )
+
+
+def o_distance_join():
+    from s2geo_spark.kernel import metrics as _m
+
+    chord2 = repr(float((2.0 * np.sin(0.5 * 500_000.0 / _m.EARTH_RADIUS_METERS)) ** 2))
+    return f"""
+WITH l0 AS (SELECT CAST(s_suppkey AS BIGINT) AS left_id,
+            {geo.lat_sql('s_suppkey')} AS lat, {geo.lon_sql('s_suppkey')} AS lon FROM supplier),
+lx AS (SELECT left_id, {_XYZ_SQL} FROM l0),
+r0 AS ({geo.points_sql('customer', 'c_custkey', 'right_id')}),
+rx AS (SELECT right_id, {_XYZ_SQL} FROM r0)
+SELECT left_id, right_id
+FROM lx CROSS JOIN rx
+WHERE (lx.x-rx.x)*(lx.x-rx.x) + (lx.y-rx.y)*(lx.y-rx.y) + (lx.z-rx.z)*(lx.z-rx.z) <= {chord2}
+"""
+
+
+def q_h3_counts(spark, sf_dir):
+    """Hex-tile rollup (no SQL oracle possible — H3 math; rows-only check)."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    return (
+        pts.select(sf.h3_cell("lat", "lon", 3).alias("hex"))
+        .groupBy("hex")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_HEXV = "0123456789abcdef"
+
+
+def q_simhash8(spark, sf_dir):
+    """8-bit SimHash per document, SQL-expressible variant: bit b of a
+    token = bit b of its md5 front byte; signature bit = sign of votes."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    # md5 front byte as int via position-in-hex-alphabet (portable)
+    hi = F.instr(F.lit(_HEXV), F.substring(F.md5("w"), 1, 1)) - 1
+    lo = F.instr(F.lit(_HEXV), F.substring(F.md5("w"), 2, 1)) - 1
+    byte = hi * 16 + lo
+    agg = [
+        F.sum(
+            F.when(F.shiftright(byte, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(8)
+    ]
+    votes = words.groupBy("doc_id").agg(*agg)
+    sig = None
+    for b in range(8):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.cast("long").alias("simhash8"))
+
+
+def o_simhash8():
+    def nib(pos):
+        return f"(strpos('{_HEXV}', substr(md5(w), {pos}, 1)) - 1)"
+
+    byte = f"({nib(1)} * 16 + {nib(2)})"
+    votes = ", ".join(
+        f"sum(CASE WHEN ({byte} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(8)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(8))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+votes AS (
+  SELECT doc_id, {votes} FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash8 FROM votes
+"""
+
+
+def q_media_bytes(spark, sf_dir):
+    """Binary-column plumbing: treat text as an opaque payload, compute
+    byte length + first-byte code (the multimodal metadata pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+    )
+
+
+def o_media_bytes():
+    return """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte
+FROM documents
+"""
+
+
 # --- text / dedup over documents -------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -815,6 +927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_counts": q_pip_counts,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
+        "s2_distance_join": q_distance_join,
+        "h3_tile_counts": q_h3_counts,
+        "dedup_simhash8": q_simhash8,
+        "media_bytes": q_media_bytes,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
@@ -843,6 +959,11 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_counts": o_pip_counts(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
+        "s2_distance_join": o_distance_join(),
+        # h3_tile_counts: no oracle — H3 hex math is not SQL-expressible;
+        # the driver records a rows-only check for it
+        "dedup_simhash8": o_simhash8(),
+        "media_bytes": o_media_bytes(),
         "dedup_exact": o_dedup_exact(),
         "dedup_minhash": o_minhash(),
         "dedup_lsh_pairs": o_lsh_pairs(),

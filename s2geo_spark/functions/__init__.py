@@ -28,6 +28,9 @@ from s2geo_spark.kernel import cellid_v1 as _v1
 from s2geo_spark.kernel import cellid_v2 as _v2
 
 __all__ = [
+    "h3_cell",
+    "h3_kring",
+    "h3_parent",
     "s2_cell_id",
     "s2_cell_id_at",
     "s2_v2_id",
@@ -99,6 +102,50 @@ def s2_cell_center(cell: pd.Series) -> pd.DataFrame:
 def s2_cell_id_at(lat, lon, level: int) -> Column:
     """Leaf encode then parent — the parent is pure column math."""
     return s2_parent(s2_cell_id(lat, lon), level)
+
+
+def h3_cell(lat, lon, res: int) -> Column:
+    """(lat, lon) -> H3-style aperture-7 hex index at `res` (kernel/h3.py)."""
+    from s2geo_spark.kernel import h3 as _h3
+
+    @F.pandas_udf(LongType())
+    def _enc(la: pd.Series, lo: pd.Series) -> pd.Series:
+        mask = la.isna() | lo.isna()
+        out = _h3.geo_to_h3(
+            la.to_numpy(dtype=np.float64, na_value=0.0),
+            lo.to_numpy(dtype=np.float64, na_value=0.0),
+            res,
+        )
+        if mask.any():
+            out = np.where(mask.to_numpy(), np.uint64(0), out)
+        return _i64(out)
+
+    return _enc(_col(lat), _col(lon))
+
+
+def h3_parent(cell, parent_res: int) -> Column:
+    """Hex index -> ancestor at parent_res (digit-path truncation)."""
+    from s2geo_spark.kernel import h3 as _h3
+
+    @F.pandas_udf(LongType())
+    def _par(c: pd.Series) -> pd.Series:
+        return _i64(_h3.h3_to_parent(_u64(c), parent_res))
+
+    return _par(_col(cell))
+
+
+def h3_kring(cell, k: int) -> Column:
+    """Hex index -> array of all cells within grid distance k."""
+    from pyspark.sql.types import ArrayType
+
+    from s2geo_spark.kernel import h3 as _h3
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ring(c: pd.Series) -> pd.Series:
+        rings = _h3.k_ring(_u64(c), k).view(np.int64)
+        return pd.Series(list(rings))
+
+    return _ring(_col(cell))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,111 @@
+"""H3-style hex kernel invariants (public-spec structure, see kernel/h3.py).
+
+Properties tested mirror the published spec's guarantees: index validity,
+center round-trip (res >= 3; coarse-res centers can leave their face patch
+— documented limitation of the face-rooted variant), aperture-7 hierarchy,
+k_ring size 1+3k(k+1), ring reciprocity, and Spark UDF parity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2geo_spark import functions as sf
+from s2geo_spark.kernel import h3
+
+RNG = np.random.default_rng(42)
+LAT = RNG.uniform(-90, 90, 20000)
+LON = RNG.uniform(-180, 180, 20000)
+
+
+class TestH3Kernel:
+    @pytest.mark.parametrize("res", [0, 2, 5, 9, 15])
+    def test_valid_and_fields(self, res):
+        h = h3.geo_to_h3(LAT, LON, res)
+        assert h3.is_valid(h).all()
+        assert (h3.get_resolution(h) == res).all()
+        assert (h3.get_base(h) < 20).all()
+        for r in range(res + 1, h3.MAX_RES + 1):
+            assert (h3.get_digit(h, r) == 7).all()
+
+    @pytest.mark.parametrize("res", [3, 7, 11, 15])
+    def test_center_roundtrip(self, res):
+        h = h3.geo_to_h3(LAT, LON, res)
+        clat, clon = h3.h3_to_geo(h)
+        h2 = h3.geo_to_h3(clat, clon, res)
+        # tiny residue from cells whose center exits the face patch
+        assert np.mean(h2 == h) > 0.96
+
+    def test_center_near_input(self):
+        res = 9
+        h = h3.geo_to_h3(LAT, LON, res)
+        clat, clon = h3.h3_to_geo(h)
+        # center within ~2 cell radii of the input point (gnomonic distortion)
+        d = np.hypot(clat - LAT, (clon - LON + 180) % 360 - 180)
+        cell_deg = 360.0 / (np.sqrt(7.0) ** res)  # rough scale
+        assert np.percentile(d, 99) < 6 * cell_deg
+
+    def test_parent_hierarchy(self):
+        h9 = h3.geo_to_h3(LAT, LON, 9)
+        h5 = h3.h3_to_parent(h9, 5)
+        assert (h3.get_resolution(h5) == 5).all()
+        assert h3.is_valid(h5).all()
+        # parent digit path is a prefix
+        for r in range(1, 6):
+            assert (h3.get_digit(h5, r) == h3.get_digit(h9, r)).all()
+        # center child round-trips through the parent
+        cc = h3.h3_to_center_child(h5, 9)
+        assert (h3.h3_to_parent(cc, 5) == h5).all()
+
+    @pytest.mark.parametrize("k", [1, 2, 3])
+    def test_k_ring(self, k):
+        h = h3.geo_to_h3(LAT[:300], LON[:300], 6)
+        ring = h3.k_ring(h, k)
+        assert ring.shape[1] == 1 + 3 * k * (k + 1)
+        assert h3.is_valid(ring.ravel()).all()
+        assert (ring == h[:, None]).any(axis=1).all()  # contains self
+        for row in ring:
+            assert len(set(row.tolist())) == ring.shape[1]  # all distinct
+
+    def test_ring1_reciprocity(self):
+        h = h3.geo_to_h3(LAT[:200], LON[:200], 6)
+        r1 = h3.k_ring(h, 1)
+        for col in range(r1.shape[1]):
+            back = h3.k_ring(r1[:, col], 1)
+            assert (back == h[:, None]).any(axis=1).all()
+
+    def test_area_uniformity(self):
+        # aperture-7: cells per face scale ~7x per res (sampled estimate)
+        counts = {}
+        for res in (2, 3):
+            h = h3.geo_to_h3(LAT, LON, res)
+            counts[res] = len(np.unique(h))
+        assert 4 < counts[3] / counts[2] < 10
+
+
+class TestH3Spark:
+    def test_udf_matches_kernel(self, spark):
+        pdf = pd.DataFrame({"pid": np.arange(2000), "lat": LAT[:2000], "lon": LON[:2000]})
+        got = (
+            spark.createDataFrame(pdf)
+            .select("pid", sf.h3_cell("lat", "lon", 7).alias("h"))
+            .orderBy("pid")
+            .toPandas()
+        )
+        want = h3.geo_to_h3(LAT[:2000], LON[:2000], 7)
+        assert (got["h"].to_numpy().view(np.uint64) == want).all()
+
+    def test_parent_and_ring_udfs(self, spark):
+        pdf = pd.DataFrame({"pid": np.arange(500), "lat": LAT[:500], "lon": LON[:500]})
+        df = spark.createDataFrame(pdf).select(
+            "pid", sf.h3_cell("lat", "lon", 8).alias("h")
+        )
+        out = df.select(
+            "pid",
+            sf.h3_parent("h", 4).alias("p"),
+            F.size(sf.h3_kring("h", 1)).alias("ring_n"),
+        ).toPandas()
+        assert (out["ring_n"] == 7).all()
+        want = h3.h3_to_parent(h3.geo_to_h3(LAT[:500], LON[:500], 8), 4)
+        got = out.sort_values("pid")["p"].to_numpy().view(np.uint64)
+        assert (got == want).all()
