@@ -855,6 +855,47 @@ def o_embedding_lsh_buckets():
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Cosine near-dup pairs (exact baseline; the IVF-bucketed variant is
+    operators/ann.embedding_near_dup_pairs). Integer ids only in output;
+    threshold chosen to exercise the tail of the synthetic embeddings."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def o_embedding_near_dup():
+    return """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val*val ORDER BY idx)) AS nrm FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val ORDER BY a.idx) AS dot
+  FROM flat a JOIN flat b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
+
 # --- classic OLAP (engine breadth) -------------------------------------------
 
 def q_lineitem_rollup(spark, sf_dir):
@@ -944,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": q_top_events,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "olap_lineitem_rollup": q_lineitem_rollup,
         "olap_top_customers": q_top_customers,
     }
@@ -977,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk": o_top_events(),
         "embedding_topk": o_embedding_topk(),
         "embedding_lsh_buckets": o_embedding_lsh_buckets(),
+        "embedding_near_dup": o_embedding_near_dup(),
         "olap_lineitem_rollup": o_lineitem_rollup(),
         "olap_top_customers": o_top_customers(),
     }

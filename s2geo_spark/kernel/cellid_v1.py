@@ -284,6 +284,72 @@ def prev_cell(cell_id):
     return cell_id - (lsb(cell_id) << _U1)
 
 
+def advance(cell_id, steps):
+    """Move `steps` cells along the Hilbert curve at the same level, clamped
+    to [Begin, End) of the level (s2cell_id_v1.cc:126-144)."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    steps = np.asarray(steps, dtype=np.int64)
+    step_shift = (2 * (MAX_LEVEL - level(cell_id)) + 1).astype(np.uint64)
+    min_steps = -(cell_id >> step_shift).astype(np.int64)
+    max_steps = ((WRAP_OFFSET + lsb(cell_id) - cell_id) >> step_shift).astype(np.int64)
+    steps = np.clip(steps, min_steps, max_steps)
+    return cell_id + (steps.astype(np.uint64) << step_shift)
+
+
+def distance_from_begin(cell_id):
+    """Hilbert-curve position at the cell's level (s2cell_id_v1.cc:146-149)."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    step_shift = (2 * (MAX_LEVEL - level(cell_id)) + 1).astype(np.uint64)
+    return (cell_id >> step_shift).astype(np.int64)
+
+
+def common_ancestor_level(a, b):
+    """Level of the lowest common ancestor, -1 if on different faces
+    (s2cell_id_v1.cc:198-212): msb of (a XOR b | lsbs) mapped to a level."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    bits = np.maximum(a ^ b, np.maximum(lsb(a), lsb(b)))
+    # bit_width via exact log2 of the isolated msb:
+    # extract msb by repeated or-shift (classic fill) then (x+1)>>1
+    x = bits.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    msb = (x >> np.uint64(1)) + np.uint64(1)  # == 1 << (bit_width-1)
+    bit_width = np.log2(msb.astype(np.float64)).astype(np.int64) + 1
+    return np.maximum(61 - bit_width, -1) >> 1
+
+
+def maximum_tile(cell_id, limit):
+    """Largest cell with range_min() == this.range_min() not extending past
+    `limit` (s2cell_id_v1.cc:175-196) — the Hilbert-range tiling primitive.
+    Scalar loop per element (used on small range sets)."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    limit = np.asarray(limit, dtype=np.uint64)
+    out = np.empty_like(cell_id)
+    for n in range(cell_id.shape[0]):
+        cid = np.uint64(cell_id[n])
+        lim = np.uint64(limit[n]) if limit.shape else np.uint64(limit)
+        start = range_min(np.array([cid]))[0]
+        if start >= range_min(np.array([lim]))[0]:
+            out[n] = lim
+            continue
+        if range_max(np.array([cid]))[0] >= lim:
+            while range_max(np.array([cid]))[0] >= lim:
+                cid = child(np.array([cid]), np.array([0]))[0]
+            out[n] = cid
+            continue
+        while not bool(is_face(np.array([cid]))[0]):
+            par = parent1(np.array([cid]))[0]
+            if (
+                range_min(np.array([par]))[0] != start
+                or range_max(np.array([par]))[0] >= lim
+            ):
+                break
+            cid = par
+        out[n] = cid
+    return out
+
+
 def get_size_ij(level_arr):
     """Cell edge length in leaf-ij units: 1 << (30 - level)."""
     return np.int64(1) << (MAX_LEVEL - np.asarray(level_arr, dtype=np.int64))

@@ -1,0 +1,121 @@
+"""ANN operators (brute force vs IVF recall) + physical-plan quality checks
+(the "would this survive 100x" assertions: broadcast joins chosen, filters
+pushed to the parquet scan, no stray shuffles in the narrow pipeline)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2geo_spark import functions as sf
+from s2geo_spark.operators import ann, spatial
+from s2geo_spark.sources import fixtures as fx
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def vectors_df(spark):
+    n, d = 800, 32
+    # clustered vectors so IVF lists are meaningful
+    centers = RNG.normal(size=(8, d))
+    assign = RNG.integers(0, 8, n)
+    x = centers[assign] + 0.15 * RNG.normal(size=(n, d))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "e": [row.tolist() for row in x]})
+    return spark.createDataFrame(pdf), x
+
+
+class TestAnn:
+    def test_brute_force_matches_numpy(self, spark, vectors_df):
+        df, x = vectors_df
+        q = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        got = (
+            ann.brute_force_topk(q, df, k=4)
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = xn[:5] @ xn.T
+        for qi in range(5):
+            order = np.lexsort((np.arange(len(x)), -sims[qi]))
+            want = order[:4].tolist()
+            assert got[got["query_id"] == qi]["vec_id"].tolist() == want
+
+    def test_ivf_recall(self, spark, vectors_df):
+        df, x = vectors_df
+        q = df.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        exact = ann.brute_force_topk(q, df, k=5).toPandas()
+        approx = ann.ivf_topk(q, df, k=5, n_lists=8, nprobe=3).toPandas()
+        exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+        approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+        recalls = [
+            len(exact_sets[qi] & approx_sets.get(qi, set())) / 5.0
+            for qi in exact_sets.index
+        ]
+        assert np.mean(recalls) >= 0.8, np.mean(recalls)
+
+    def test_near_dup_pairs(self, spark, vectors_df):
+        df, x = vectors_df
+        pairs = ann.embedding_near_dup_pairs(df, threshold=0.995, n_lists=8).toPandas()
+        # verify every reported pair really exceeds the threshold
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        for _, row in pairs.head(50).iterrows():
+            cos = float(xn[int(row["id_a"])] @ xn[int(row["id_b"])])
+            assert cos >= 0.995 - 1e-9
+
+
+class TestPlans:
+    def test_contains_join_broadcasts(self, spark):
+        pdf = pd.DataFrame(
+            {"point_id": np.arange(100, dtype=np.int64),
+             "lat": RNG.uniform(-60, 60, 100), "lon": RNG.uniform(-180, 180, 100)}
+        )
+        pts = spark.createDataFrame(pdf)
+        cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
+        plan = spatial.contains_join(pts, cov_df, prepared)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan
+
+    def test_parquet_filter_pushdown(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        q = df.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan or "LessThan(o_orderkey" in plan, plan[:1500]
+        # column pruning: only o_orderkey read
+        assert "ReadSchema: struct<o_orderkey:bigint>" in plan, plan[:1500]
+
+    def test_pipeline_single_shuffle(self, spark):
+        # the flagship narrow pipeline has exactly one exchange before the
+        # final rollup (the candidate rebalance) and one for the groupBy
+        from s2geo_spark.sources import pages as pages_src
+
+        pages = pages_src.synth_pages(spark, 500)
+        geo = pages_src.extract_geo(pages).filter(F.col("lat").isNotNull())
+        pts = geo.select(
+            F.col("url").alias("point_id"), "lat", "lon",
+            sf.s2_cell_id("lat", "lon").alias("cell"),
+        )
+        cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
+        joined = spatial.contains_join(pts, cov_df, prepared)
+        tiles = (
+            joined.withColumn("tile", sf.tile_assign("cell", 10))
+            .groupBy("polygon_id", "tile")
+            .agg(F.count("*").alias("pages"))
+        )
+        import re
+
+        plan = tiles._jdf.queryExecution().executedPlan().toString()
+        # distinct shuffle exchanges (by plan_id), broadcasts excluded
+        shuffles = set(
+            re.findall(r"(?<!Broadcast)Exchange \w+[^\[]*\[plan_id=(\d+)\]", plan)
+        )
+        assert len(shuffles) <= 2, f"too many shuffles ({shuffles}):\n{plan[:3000]}"
+        assert "BroadcastHashJoin" in plan
+        # codegen visible in the final adaptive plan after execution
+        tiles.collect()
+        final = tiles._jdf.queryExecution().executedPlan().toString()
+        assert "WholeStageCodegen" in final or "*(1)" in final
