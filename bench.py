@@ -108,19 +108,16 @@ def pages_pipeline(spark, n_pages: int) -> int:
     from s2geo_spark.sources import fixtures as fx
     from s2geo_spark.sources import pages as pages_src
 
-    # single narrow path: scan -> extract -> encode once -> term-indexer
-    # broadcast join -> exact-PIP residual -> tile rollup. The only shuffle
-    # is the final groupBy(polygon, tile).
+    # single narrow path, Python only on join survivors: scan -> substring
+    # geo extract (JVM) -> (face,i,j) via Catalyst trig (JVM) -> quad-key
+    # broadcast join (JVM) -> exact-PIP residual on boundary candidates
+    # (mapInPandas) -> Hilbert encode of the ~few-% survivors -> tile
+    # rollup. The only shuffles: candidate rebalance + final groupBy.
     pages = pages_table(spark, n_pages)
     geo = pages_src.extract_geo(pages).filter(F.col("lat").isNotNull())
-    pts = geo.select(
-        F.col("url").alias("point_id"),
-        "lat",
-        "lon",
-        sfn.s2_cell_id("lat", "lon").alias("cell"),
-    )
+    pts = geo.select(F.col("url").alias("point_id"), "lat", "lon")
     cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
-    joined = spatial.contains_join(pts, cov_df, prepared)  # keeps `cell`
+    joined = spatial.contains_join_quads(pts, cov_df, prepared, emit_cell=True)
     tiles = (
         joined.withColumn("tile", sfn.tile_assign("cell", fx.TILE_LEVEL))
         .groupBy("polygon_id", "tile")
@@ -214,16 +211,25 @@ def _jvm_ceiling(cpus: int) -> float:
 def run_scaling() -> None:
     """N vs 4N parallelism on identical input (north_rule evidence)."""
     results = []
+    import shutil as _shutil
+
+    have_taskset = _shutil.which("taskset") is not None
     for cpus in (8, 32):
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SF_DIR=SF_DIR,
             # larger input for scaling: compute must dominate fixed costs
-            SPARK_GRAFT_PAGES_N=os.environ.get("SPARK_GRAFT_PAGES_N", "2000000"),
+            SPARK_GRAFT_PAGES_N=os.environ.get("SPARK_GRAFT_PAGES_N", "16000000"),
         )
+        cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only"]
+        if have_taskset:
+            # pin the WHOLE process tree (JVM + python workers) to `cpus`
+            # cores — otherwise the local[8] run's python workers spill onto
+            # the other 24 cores and inflate the N baseline
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

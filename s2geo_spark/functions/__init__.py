@@ -32,7 +32,10 @@ __all__ = [
     "h3_kring",
     "h3_parent",
     "s2_cell_id",
+    "s2_cell_from_fij",
     "s2_cell_id_at",
+    "s2_face_ij_cols",
+    "quad_key",
     "s2_v2_id",
     "s2_cell_center",
     "s2_parent",
@@ -78,6 +81,18 @@ def s2_cell_id(lat: pd.Series, lon: pd.Series) -> pd.Series:
     )
     if mask.any():
         ids = np.where(mask.to_numpy(), np.uint64(0), ids)
+    return _i64(ids)
+
+
+@F.pandas_udf(LongType())
+def s2_cell_from_fij(face: pd.Series, i: pd.Series, j: pd.Series) -> pd.Series:
+    """(face, i, j) leaf coords -> v1 leaf cell id (Hilbert interleave only;
+    pairs with s2_face_ij_cols so the trig stays JVM-side)."""
+    ids = _v1.from_face_ij(
+        face.to_numpy(dtype=np.int64, na_value=0),
+        i.to_numpy(dtype=np.int64, na_value=0),
+        j.to_numpy(dtype=np.int64, na_value=0),
+    )
     return _i64(ids)
 
 
@@ -223,3 +238,77 @@ def s2_token_expr(cell) -> Column:
 def tile_assign(cell, tile_level: int) -> Column:
     """Tile id = ancestor cell at tile_level (the engine's tiling operator)."""
     return s2_parent(cell, tile_level)
+
+
+def s2_face_ij_cols(lat, lon):
+    """(face, i, j) leaf coordinates as PURE Catalyst expressions — the full
+    S2 transform (trig -> face argmax -> per-face u,v -> quadratic ST ->
+    truncate-clamp, s2coords.h:321-403) with no Python. Only the Hilbert
+    interleave needs the kernel; joins keyed on (face,i,j) quads skip it
+    entirely so the pandas UDF runs only on join survivors.
+
+    Returns (face, i, j) Columns. Bit-for-bit the kernel's values (verified
+    by the s2_quad_counts oracle query + tests).
+    """
+    la, lo = _col(lat), _col(lon)
+    phi = F.radians(la)
+    theta = F.radians(lo)
+    x = F.cos(theta) * F.cos(phi)
+    y = F.sin(theta) * F.cos(phi)
+    z = F.sin(phi)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    axis = F.when(
+        (ax > ay) & (ax > az), F.lit(0)
+    ).when(ay > az, F.lit(1)).otherwise(F.lit(2))
+    comp = F.when(axis == 0, x).when(axis == 1, y).otherwise(z)
+    face = F.when(comp < 0, axis + 3).otherwise(axis)
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+
+    def st(c):
+        return F.when(c >= 0, 0.5 * F.sqrt(1.0 + 3.0 * c)).otherwise(
+            1.0 - 0.5 * F.sqrt(1.0 - 3.0 * c)
+        )
+
+    def ij(c):
+        return F.least(
+            F.greatest(F.floor(F.lit(float(1 << 30)) * st(c)).cast("long"), F.lit(0)),
+            F.lit((1 << 30) - 1),
+        )
+
+    return face.cast("int"), ij(u), ij(v)
+
+
+def quad_key(face, i, j, level: int) -> Column:
+    """Pack (face, level, i>>s, j>>s) into one int64 join key.
+
+    Equality of quad keys at a cell's own level <=> point inside that cell
+    (cells are exactly (face, i-range x j-range) boxes,
+    s2cell_id_v1.cc:407-417). Layout: face*2^58 + level*2^53 + iq*2^26 + jq;
+    valid for level <= 25 (join levels are <= 16).
+    """
+    if level > 25:
+        raise ValueError("quad_key supports level <= 25")
+    s = 30 - level
+    iq = F.shiftrightunsigned(_col(i), s)
+    jq = F.shiftrightunsigned(_col(j), s)
+    return (
+        (_col(face).cast("long") * F.lit(1 << 58))
+        + (F.lit(level).cast("long") * F.lit(1 << 53))
+        + iq * F.lit(1 << 26)
+        + jq
+    )

@@ -89,16 +89,29 @@ def prepare_polygons(
     return df, prepared
 
 
-def point_terms(points: DataFrame, cell_col: str = "cell") -> DataFrame:
-    """Explode each point's ancestors at levels [4..16] — the query terms.
+def point_terms(
+    points: DataFrame, cell_col: str = "cell", levels=None
+) -> DataFrame:
+    """Explode each point's ancestors — the query terms.
 
     Pure column math (s2_parent is a mask+or per level): stays in
-    whole-stage codegen; the explode is narrow.
+    whole-stage codegen; the explode is narrow. `levels` restricts the
+    fan-out to levels that actually occur in the index side (terms at
+    absent levels can never match — semantically identical, and the explode
+    traffic is the join's dominant memory cost at scale).
     """
-    ancestors = F.array(
-        *[sf.s2_parent(cell_col, L) for L in range(TERM_MIN_LEVEL, TERM_MAX_LEVEL + 1)]
-    )
+    if levels is None:
+        levels = range(TERM_MIN_LEVEL, TERM_MAX_LEVEL + 1)
+    ancestors = F.array(*[sf.s2_parent(cell_col, L) for L in sorted(levels)])
     return points.withColumn("term", F.explode(ancestors))
+
+
+def covering_levels(covering: DataFrame) -> list[int]:
+    """Distinct cell levels present in a covering table (tiny aggregate)."""
+    rows = (
+        covering.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
+    )
+    return sorted(int(r["lv"]) for r in rows)
 
 
 def contains_join(
@@ -123,7 +136,7 @@ def contains_join(
         pts = points.withColumn("cell", sf.s2_cell_id(lat, lon)).filter(
             F.col("cell") != 0
         )
-    terms = point_terms(pts)
+    terms = point_terms(pts, levels=covering_levels(covering))
     cov = covering.withColumnRenamed("cell", "cov_cell")
     cov = F.broadcast(cov) if broadcast_covering else cov
     cand = terms.join(cov, terms["term"] == cov["cov_cell"], "inner").drop(
@@ -187,6 +200,121 @@ def _get_cached_loop(pid: int, verts):
         lp = loops.PreparedLoop(verts)
         _LOOP_CACHE[key] = lp
     return lp
+
+
+def covering_quads(spark: SparkSession, covering_pdf) -> "pd.DataFrame":
+    """Covering table (polygon_id, cell int64-bits, is_interior) -> quad-key
+    rows using the same packing as functions.quad_key (driver-side kernel)."""
+    cells = covering_pdf["cell"].to_numpy().view(np.uint64)
+    lvl = v1.level(cells)
+    f, i, j = v1.to_face_ij_orientation(cells)
+    s = (30 - lvl).astype(np.int64)
+    iq = i >> s
+    jq = j >> s
+    key = (
+        f.astype(np.int64) * (1 << 58)
+        + lvl.astype(np.int64) * (1 << 53)
+        + iq * (1 << 26)
+        + jq
+    )
+    out = covering_pdf.copy()
+    out["quad"] = key
+    out["lvl"] = lvl
+    return out
+
+
+def contains_join_quads(
+    points: DataFrame,
+    covering: DataFrame,
+    prepared: dict[int, loops.PreparedLoop],
+    point_id: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    rebalance: bool = True,
+    emit_cell: bool = False,
+) -> DataFrame:
+    """Containment join keyed on JVM-computed (face,i,j) quads — identical
+    semantics to :func:`contains_join` (verified by tests) but the pandas
+    UDF path is gone from the scan side: the Hilbert encode is not needed
+    for the equi-join, only (face, i, j), which the Catalyst expressions in
+    functions.s2_face_ij_cols produce. Python touches only the exact-PIP
+    residual (boundary candidates). Returns point columns + polygon_id
+    (+ f/i/j columns; with emit_cell=True also the leaf `cell`, Hilbert-
+    encoded inside the same Python stage — no extra Arrow round trip).
+    """
+    import pandas as _pd
+
+    qkey = ("quads", id(covering))
+    cached = _PREP_CACHE.get(qkey)
+    if cached is None:
+        cov_pdf = covering.toPandas()
+        cov_quads = covering_quads(points.sparkSession, cov_pdf)
+        levels = sorted(cov_quads["lvl"].unique().tolist())
+        cov_df = points.sparkSession.createDataFrame(
+            cov_quads[["polygon_id", "quad", "is_interior"]]
+        )
+        _PREP_CACHE[qkey] = (levels, cov_df)
+    else:
+        levels, cov_df = cached
+
+    fcol, icol, jcol = sf.s2_face_ij_cols(lat, lon)
+    pts = points.withColumns({"f": fcol, "i": icol, "j": jcol})
+    quads = F.array(*[sf.quad_key("f", "i", "j", L) for L in levels])
+    terms = pts.withColumn("term", F.explode(quads))
+    cand = terms.join(
+        F.broadcast(cov_df), terms["term"] == cov_df["quad"], "inner"
+    ).drop("term", "quad")
+
+    poly_data = {
+        int(pid): (lp.vertices, bool(lp.origin_inside))
+        for pid, lp in prepared.items()
+    }
+    bc = points.sparkSession.sparkContext.broadcast(poly_data)
+    from pyspark.sql.types import LongType, StructField
+
+    base_schema = cand.drop("is_interior").schema
+    out_schema = (
+        base_schema.add(StructField("cell", LongType())) if emit_cell else base_schema
+    )
+    lat_name, lon_name = lat, lon
+
+    def pip_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as _np
+
+        from s2geo_spark.kernel import cellid_v1 as _v1
+        from s2geo_spark.kernel import s2coords as _sc
+
+        keep = pdf["is_interior"].to_numpy(dtype=bool).copy()
+        boundary = pdf.loc[~keep]
+        for pid, grp in boundary.groupby("polygon_id"):
+            verts, _oi = bc.value[int(pid)]
+            lp = _get_cached_loop(int(pid), verts)
+            x, y, z = _sc.latlng_degrees_to_xyz(
+                grp[lat_name].to_numpy(), grp[lon_name].to_numpy()
+            )
+            inside = lp.contains_points(_np.stack([x, y, z], axis=1))
+            keep[pdf.index.get_indexer(grp.index)] = inside
+        out = pdf.loc[keep].drop(columns=["is_interior"])
+        if emit_cell:
+            # Hilbert interleave on survivors only, in the same stage
+            out = out.assign(
+                cell=_v1.from_face_ij(
+                    out["f"].to_numpy(dtype=np.int64),
+                    out["i"].to_numpy(dtype=np.int64),
+                    out["j"].to_numpy(dtype=np.int64),
+                ).view(np.int64)
+            )
+        return out
+
+    def pip_iter(batches):
+        for pdf in batches:
+            yield pip_batch(pdf)
+
+    if rebalance:
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    return cand.mapInPandas(pip_iter, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
