@@ -1,0 +1,107 @@
+"""Point↔edge distances and polyline regions.
+
+Semantics from the reference's edge-distance kernel
+(src/s2/s2edge_distances.h:48-135, s2edge_distances.cc): the minimum
+distance from X to geodesic segment (A,B) is either the perpendicular
+distance to the great circle (when the projection falls inside the arc —
+the same interior test the cap/edge code uses: (A×X)·n and (X×B)·n signs)
+or the distance to the nearer endpoint. All distances are squared chord
+lengths (S1ChordAngle, monotone in angle).
+
+Float-only (triage precision): distance joins compare against thresholds
+far above the ~1e-15 error; no exact cascade needed here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid_v1 as v1
+from . import cells as cl
+from . import s2coords as sc
+
+
+def _chord2(p, q):
+    return ((p - q) ** 2).sum(-1)
+
+
+def point_edge_chord2(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Min squared chord distance from each point to each edge.
+
+    x: (n, 3) unit points; a, b: (m, 3) edge endpoints.
+    Returns (n, m).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    n_vec = np.cross(a, b)  # (m, 3) great-circle normals (unnormalized)
+    nn = np.linalg.norm(n_vec, axis=-1, keepdims=True)
+    n_unit = n_vec / np.maximum(nn, 1e-300)
+    # perpendicular foot: f = normalize(x - (x.n)n); interior test via signs
+    xn = x @ n_unit.T  # (n, m)
+    # interior iff (a x x).n > 0 and (x x b).n > 0  (projection between a,b)
+    ax_n = np.einsum("mj,nmj->nm", n_unit, np.cross(a[None, :, :], x[:, None, :]))
+    xb_n = np.einsum("mj,nmj->nm", n_unit, np.cross(x[:, None, :], b[None, :, :]))
+    interior = (ax_n > 0) & (xb_n > 0)
+    # perpendicular chord^2 = 2 - 2*sqrt(1 - (x.n)^2)  (sin of angle = |x.n|)
+    sin2 = np.clip(xn * xn, 0.0, 1.0)
+    perp_chord2 = 2.0 - 2.0 * np.sqrt(np.maximum(0.0, 1.0 - sin2))
+    d_a = _chord2(x[:, None, :], a[None, :, :])
+    d_b = _chord2(x[:, None, :], b[None, :, :])
+    endpoint = np.minimum(d_a, d_b)
+    return np.where(interior, np.minimum(perp_chord2, endpoint), endpoint)
+
+
+def point_polyline_chord2(x: np.ndarray, vertices: np.ndarray) -> np.ndarray:
+    """Min squared chord distance from each point to a polyline (n,) out."""
+    a = vertices[:-1]
+    b = vertices[1:]
+    return point_edge_chord2(x, a, b).min(axis=1)
+
+
+class Polyline:
+    """Polyline region for the coverer: vertices (m, 3) unit points."""
+
+    def __init__(self, vertices: np.ndarray):
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        if self.vertices.shape[0] < 2:
+            raise ValueError("polyline needs >= 2 vertices")
+
+    def contains_points(self, px, py, pz):
+        return np.zeros(np.asarray(px).shape, dtype=bool)  # no interior
+
+    def contains_cells(self, cell_ids):
+        return np.zeros(np.asarray(cell_ids).shape, dtype=bool)
+
+    def may_intersect_cells(self, cell_ids):
+        """Cell intersects the polyline iff a vertex is inside the cell or
+        an edge crosses the cell boundary — conservative float tests (the
+        covering must be a superset; same pattern as loops)."""
+        cell_ids = np.asarray(cell_ids, dtype=np.uint64)
+        n = cell_ids.shape[0]
+        out = np.zeros(n, dtype=bool)
+        # any polyline vertex inside the cell
+        for p in self.vertices:
+            out |= cl.contains_points(
+                cell_ids, np.full(n, p[0]), np.full(n, p[1]), np.full(n, p[2])
+            )
+        # any edge passes near the cell: distance from cell center to edge
+        # <= cell circumradius (conservative)
+        cx, cy, cz = v1.to_point(cell_ids)
+        centers = np.stack([cx, cy, cz], axis=1)
+        d2 = point_polyline_chord2(centers, self.vertices)
+        # circumradius bound: max corner distance from center
+        verts = cl.vertices(cell_ids)
+        circum2 = ((verts - centers[:, None, :]) ** 2).sum(-1).max(axis=1)
+        # chord triangle inequality margin: within (r + eps)^2-ish — use 4x
+        out |= d2 <= 4.0 * circum2
+        return out
+
+    def cell_union_bound(self):
+        # seed: coarse parents of the vertices (the coverer refines)
+        from . import cellunion
+
+        leaf = v1.from_point(
+            self.vertices[:, 0], self.vertices[:, 1], self.vertices[:, 2]
+        )
+        return cellunion.normalize(v1.parent(leaf, 6))

@@ -84,3 +84,80 @@ def distance_join(
         .filter(F.col("dist2") <= chord2)
         .select(left_id, right_id, "dist2")
     )
+
+
+def polyline_distance_join(
+    polylines: dict[int, np.ndarray],
+    points: DataFrame,
+    radius_m: float,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Points within radius_m of each polyline (the closest-EDGE query
+    family, src/s2/s2closest_edge_query.h, as a batched join).
+
+    polylines: {line_id: (m,3) unit vertices}. Plan: cover each polyline
+    expanded by the radius (coverer over the Polyline region + ring
+    expand), broadcast, ancestor equi-join, exact point-edge chord residual
+    in one mapInPandas. Returns (point_id, line_id, dist2).
+    """
+    import pandas as pd
+
+    from s2geo_spark.kernel import cellunion, coverer, edges
+    from s2geo_spark.kernel import metrics as m
+
+    spark = points.sparkSession
+    radius_rad = radius_m / m.EARTH_RADIUS_METERS
+    chord2 = float((2.0 * np.sin(0.5 * radius_rad)) ** 2)
+    expand_level = _ring_level_for_radius(radius_rad)
+
+    rows = []
+    for lid, verts in polylines.items():
+        pl = edges.Polyline(verts)
+        cov = coverer.get_covering(pl, max_cells=32, max_level=expand_level)
+        cov = cellunion.expand_by_level(cov, expand_level)
+        for c in cov:
+            rows.append((lid, int(np.int64(np.uint64(c)))))
+    cov_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["line_id", "ccell"])
+    )
+    levels = sorted(
+        {int(lv) for lv in v1.level(np.array([r[1] for r in rows], dtype=np.int64).view(np.uint64))}
+    )
+
+    pts = points.withColumn("leaf", sf.s2_cell_id("lat", "lon"))
+    anc = F.array(*[sf.s2_parent("leaf", L) for L in levels])
+    terms = pts.withColumn("term", F.explode(anc))
+    cand = terms.join(
+        F.broadcast(cov_df), terms["term"] == cov_df["ccell"]
+    ).select(point_id, "lat", "lon", "line_id").distinct()
+
+    bc = spark.sparkContext.broadcast({int(k): v for k, v in polylines.items()})
+    out_schema = f"{point_id} string, line_id long, dist2 double" if dict(points.dtypes).get(point_id) == "string" else f"{point_id} long, line_id long, dist2 double"
+
+    def run(batches):
+        from s2geo_spark.kernel import edges as _e
+        from s2geo_spark.kernel import s2coords as _sc
+
+        for pdf in batches:
+            outs = []
+            for lid, grp in pdf.groupby("line_id"):
+                verts = bc.value[int(lid)]
+                x, y, z = _sc.latlng_degrees_to_xyz(
+                    grp["lat"].to_numpy(), grp["lon"].to_numpy()
+                )
+                d2 = _e.point_polyline_chord2(np.stack([x, y, z], 1), verts)
+                keep = d2 <= chord2
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            point_id: grp[point_id].to_numpy()[keep],
+                            "line_id": int(lid),
+                            "dist2": d2[keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {point_id: [], "line_id": [], "dist2": []}
+            )
+
+    return cand.mapInPandas(run, schema=out_schema)
