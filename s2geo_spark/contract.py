@@ -191,7 +191,8 @@ def o_cap_counts():
 def q_pip_join(spark, sf_dir):
     pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
     cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
-    return spatial.contains_join(pts, cov_df, prepared).select(
+    # quad-key physical path (bit-identical to contains_join, JVM scan side)
+    return spatial.contains_join_quads(pts, cov_df, prepared).select(
         "point_id", "polygon_id"
     )
 
@@ -1032,11 +1033,9 @@ def entry(spark: SparkSession) -> DataFrame:
     layer -> tile = level-10 ancestor -> per-(polygon, tile) page counts.
     """
     sf_dir = "/root/testdata/sf0.001"
-    pts = _points_df(spark, sf_dir, "orders", "o_orderkey").withColumn(
-        "cell", sf.s2_cell_id("lat", "lon")
-    )
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
     cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
-    joined = spatial.contains_join(pts, cov_df, prepared)  # keeps `cell`
+    joined = spatial.contains_join_quads(pts, cov_df, prepared, emit_cell=True)
     return (
         joined.withColumn("tile", sf.tile_assign("cell", fx.TILE_LEVEL))
         .groupBy("polygon_id", "tile")
