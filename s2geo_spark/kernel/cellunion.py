@@ -122,6 +122,32 @@ def intersects_id(union_ids: np.ndarray, targets: np.ndarray) -> np.ndarray:
     return ok & (rmaxs[idx] >= t_min)
 
 
+def difference(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
+    """Cells covering A \\ B, by recursive subdivision of partially-covered
+    cells (s2cell_union.cc:420-448 GetDifferenceInternal)."""
+    a_ids = np.asarray(a_ids, dtype=np.uint64)
+    b_ids = sort_unsigned(b_ids)
+    out: list[np.uint64] = []
+
+    def rec(cid: np.uint64):
+        arr = np.array([cid], dtype=np.uint64)
+        if not intersects_id(b_ids, arr)[0]:
+            out.append(cid)
+            return
+        if contains_id(b_ids, arr)[0]:
+            return
+        if bool(v1.is_leaf(arr)[0]):
+            # unreachable for valid unions: a leaf that intersects b is
+            # contained by b (no cell is finer than a leaf)
+            return
+        for pos in range(4):
+            rec(v1.child(arr, np.array([pos]))[0])
+
+    for cid in a_ids:
+        rec(np.uint64(cid))
+    return normalize(np.array(out, dtype=np.uint64)) if out else np.array([], dtype=np.uint64)
+
+
 def expand_by_level(ids: np.ndarray, expand_level: int) -> np.ndarray:
     """Add all neighbors at expand_level of every boundary cell, then
     normalize (s2cell_union.cc:450-466). Cells coarser than expand_level are

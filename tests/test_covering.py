@@ -147,3 +147,25 @@ class TestCellUnion:
         leaf_out = v1.from_point(-inside[:, 0], -inside[:, 1], -inside[:, 2])
         assert not cellunion.contains_id(cov, leaf_out).any()
         assert not cellunion.intersects_id(cov, leaf_out).any()
+
+
+class TestCellUnionDifference:
+    def test_difference_semantics(self):
+        a = coverer.get_covering(
+            regions.Cap.from_latlng_radius_degrees(40, -74, 3.0), max_cells=12
+        )
+        b = coverer.get_covering(
+            regions.Cap.from_latlng_radius_degrees(41, -73, 3.0), max_cells=12
+        )
+        d = cellunion.difference(a, b)
+        assert not cellunion.intersects_id(b, d).any()
+        lat = 40 + RNG.uniform(-4, 4, 3000)
+        lon = -74 + RNG.uniform(-4, 4, 3000)
+        leaf = v1.from_latlng(lat, lon)
+        in_a = cellunion.contains_id(a, leaf)
+        in_b = cellunion.contains_id(b, leaf)
+        in_d = cellunion.contains_id(d, leaf)
+        assert (in_d == (in_a & ~in_b)).all()
+        assert len(cellunion.difference(a, a)) == 0
+        empty = np.array([], dtype=np.uint64)
+        assert (cellunion.difference(a, empty) == cellunion.normalize(a)).all()
