@@ -132,16 +132,15 @@ def o_face_counts():
 
 
 def q_quad_counts(spark, sf_dir):
-    shift = 2 * (30 - fx.QUAD_LEVEL) - 8  # i>>22 at level 8
+    # Pure-Catalyst path: s2_face_ij_cols computes (face,i,j) with zero
+    # Python (VERDICT r1 #4 — the old plan paid two Arrow round-trips).
     pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
-    fij = pts.withColumn("cell", sf.s2_cell_id("lat", "lon")).withColumn(
-        "fij", _face_ij_udf("cell")
-    )
+    face, i, j = sf.s2_face_ij_cols("lat", "lon")
     return (
-        fij.select(
-            F.col("fij.face").alias("face"),
-            F.shiftright(F.col("fij.i"), 22).alias("iq"),
-            F.shiftright(F.col("fij.j"), 22).alias("jq"),
+        pts.select(
+            face.alias("face"),
+            F.shiftright(i, 22).alias("iq"),
+            F.shiftright(j, 22).alias("jq"),
         )
         .groupBy("face", "iq", "jq")
         .agg(F.count("*").alias("cnt"))
@@ -647,7 +646,7 @@ def q_token_counts(spark, sf_dir):
 def o_token_counts():
     return """
 SELECT lang,
-       sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS total_tokens,
+       CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -698,7 +697,7 @@ def o_event_windows():
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
        event_type,
        count(*) AS n,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS v_sum
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_sum
 FROM events GROUP BY 1, 2
 """
 
@@ -725,7 +724,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
 """
@@ -737,7 +736,7 @@ def q_top_events(spark, sf_dir):
         F.desc("value"), F.asc("event_id")
     )
     return (
-        ev.withColumn("rank", F.row_number().over(w))
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("event_type", "rank", "event_id")
     )
@@ -856,44 +855,144 @@ def o_embedding_lsh_buckets():
     )
 
 
+# Banded sign-LSH layout for the near-dup query: L bands of B hyperplane
+# sign bits each; plane p component k = sin(1.0 + 17*p + k) (deterministic,
+# reproduced verbatim in the DuckDB oracle). Candidates = pairs sharing any
+# band signature — a hash equi-join per band, never an all-pairs product.
+_ND_BANDS = 8
+_ND_BITS = 4
+_ND_THRESHOLD = 0.4
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Cosine near-dup pairs (exact baseline; the IVF-bucketed variant is
-    operators/ann.embedding_near_dup_pairs). Integer ids only in output;
-    threshold chosen to exercise the tail of the synthetic embeddings."""
+    """Cosine near-dup pairs via banded sign-LSH candidates + exact cosine
+    on candidates only (the MinHash-LSH pattern of dedup_lsh_pairs applied
+    to embeddings; reference all-pairs scan replaced by the bucketed plan
+    per VERDICT r1 #3 — no crossJoin).
+
+    Semantics: a pair is reported iff it shares >=1 of the 8 band
+    signatures AND exact cosine >= 0.4. Recall vs the brute-force scan is
+    a property of the similarity level: ~1.0 for true near-dups
+    (cos>=0.85), ~0.6 at this synthetic fixture's tail threshold
+    (measured in tests/test_ann_plans.py). The brute-force form remains
+    available as ann.brute_force-style test oracle."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    band_structs = []
+    for band in range(_ND_BANDS):
+        sig = F.lit(0)
+        for bit in range(_ND_BITS):
+            p = band * _ND_BITS + bit
+            plane = [math.sin(1.0 + 17.0 * p + k) for k in range(64)]
+            dot = F.aggregate(
+                F.zip_with(
+                    "e",
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), sig.alias("sig"))
+        )
+    sigs = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "vec_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
-        .filter(F.col("cos") >= 0.4)
+        .filter(F.col("cos") >= _ND_THRESHOLD)
         .select("id_a", "id_b")
     )
 
 
 def o_embedding_near_dup():
-    return """
-WITH flat AS (
+    import math
+
+    sig_exprs = []
+    for band in range(_ND_BANDS):
+        bits = []
+        for bit in range(_ND_BITS):
+            p = band * _ND_BITS + bit
+            plane = [math.sin(1.0 + 17.0 * p + k) for k in range(64)]
+            dot = "(0.0 " + " ".join(
+                f"+ CAST(embedding[{k + 1}] AS DOUBLE) * {c!r}"
+                for k, c in enumerate(plane)
+            ) + ")"
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << bit} ELSE 0 END)")
+        sig_exprs.append("(" + " + ".join(bits) + f") AS sig{band}")
+    sig_select = ",\n         ".join(sig_exprs)
+    band_rows = ", ".join(f"({band})" for band in range(_ND_BANDS))
+    sig_case = " ".join(
+        f"WHEN {band} THEN sig{band}" for band in range(_ND_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {sig_select}
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, bn.band, CASE bn.band {sig_case} END AS sig
+  FROM sigs, (VALUES {band_rows}) bn(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(val*val ORDER BY idx)) AS nrm FROM flat GROUP BY vec_id),
 dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val ORDER BY a.idx) AS dot
-  FROM flat a JOIN flat b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b, sum(fa.val * fb.val ORDER BY fa.idx) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.idx = fa.idx
   GROUP BY 1, 2
 )
 SELECT id_a, id_b
 FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
-WHERE dot / (na.nrm * nb.nrm) >= 0.4
+WHERE dot / (na.nrm * nb.nrm) >= {_ND_THRESHOLD}
 """
 
 
@@ -918,8 +1017,8 @@ def q_lineitem_rollup(spark, sf_dir):
 def o_lineitem_rollup():
     return """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_scaled,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_scaled
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_scaled,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_scaled
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -936,7 +1035,7 @@ def q_top_customers(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("spend_scaled"), F.asc("o_custkey"))
     return (
-        spend.withColumn("rank", F.row_number().over(w))
+        spend.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("rank", F.col("o_custkey").alias("custkey"), "spend_scaled")
     )
@@ -946,7 +1045,7 @@ def o_top_customers():
     return """
 SELECT rank, custkey, spend_scaled FROM (
   SELECT o_custkey AS custkey,
-         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_scaled,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_scaled,
          row_number() OVER (
            ORDER BY sum(CAST(floor(o_totalprice * 100) AS BIGINT)) DESC, o_custkey
          ) AS rank

@@ -146,21 +146,89 @@ def set_union(a: DataFrame, b: DataFrame, set_id: str = "set_id") -> DataFrame:
     return normalize_sets(a.unionByName(b), set_id)
 
 
+def _levels_of(df: DataFrame) -> list:
+    """Distinct S2 levels present in a cell-set relation (<=31 rows)."""
+    return sorted(
+        int(r["lv"])
+        for r in df.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
+    )
+
+
 def set_intersection_cells(
     a: DataFrame, b: DataFrame, a_id: str = "a_id", b_id: str = "b_id"
 ) -> DataFrame:
     """Cell-level intersection of each (a, b) pair: the finer cell survives
-    where one side's cell contains the other's (range containment both
-    directions — s2cell_union.cc:351-418 made relational)."""
-    ar = _rng(a).withColumnRenamed("cell", "a_cell")
-    br = _rng(b).withColumnRenamed("cell", "b_cell")
-    ar = ar.withColumnRenamed("rmin", "a_rmin").withColumnRenamed("rmax", "a_rmax")
-    br = br.withColumnRenamed("rmin", "b_rmin").withColumnRenamed("rmax", "b_rmax")
-    j = ar.crossJoin(br)
-    a_in_b = (F.col("a_rmin") >= F.col("b_rmin")) & (F.col("a_rmax") <= F.col("b_rmax"))
-    b_in_a = (F.col("b_rmin") >= F.col("a_rmin")) & (F.col("b_rmax") <= F.col("a_rmax"))
-    return j.filter(a_in_b | b_in_a).select(
-        a_id,
-        b_id,
-        F.when(a_in_b, F.col("a_cell")).otherwise(F.col("b_cell")).alias("cell"),
+    where one side's cell contains the other's (s2cell_union.cc:351-418).
+
+    Relational plan: hash equi-joins on quantized ancestors — a cell of A
+    lies inside a cell of B iff A's ancestor at B's level equals B's cell.
+    Two equi-joins (a-inside-b at levels(B), strictly-b-inside-a at
+    levels(A)), no cartesian product; the strict second branch keeps the
+    equal-cell case single-counted. Shuffles scale with |A|·levels(B), not
+    |A|·|B|."""
+    lv_a = sf.s2_level_expr("cell")
+
+    def anc_terms(df, keep_id, other_levels, strict):
+        arr = F.filter(
+            F.array(*[
+                F.when(
+                    (F.lit(L) < lv_a) if strict else (F.lit(L) <= lv_a),
+                    sf.s2_parent("cell", L),
+                )
+                for L in other_levels
+            ]),
+            lambda c: c.isNotNull(),
+        )
+        return df.select(
+            F.col(keep_id), F.col("cell"), F.explode(arr).alias("term")
+        )
+
+    levels_b = _levels_of(b)
+    levels_a = _levels_of(a)
+    # branch 1: a_cell inside (or equal to) some b_cell
+    a_terms = anc_terms(a, a_id, levels_b, strict=False)
+    b_side = b.select(F.col(b_id), F.col("cell").alias("term"))
+    p1 = a_terms.join(b_side, "term").select(a_id, b_id, "cell")
+    # branch 2: b_cell STRICTLY inside some a_cell (equality handled above)
+    b_terms = anc_terms(b, b_id, levels_a, strict=True)
+    a_side = a.select(F.col(a_id), F.col("cell").alias("term"))
+    p2 = b_terms.join(a_side, "term").select(a_id, b_id, "cell")
+    return p1.unionByName(p2)
+
+
+def set_difference(
+    a: DataFrame, b: DataFrame, set_id: str = "set_id"
+) -> DataFrame:
+    """Per-id difference A \\ B of two cell-set relations, normalized
+    (s2cell_union.cc:420-448 semantics: recursive subdivision of A-cells
+    that partially overlap B).
+
+    Plan: cogrouped applyInPandas on set_id running the kernel's recursive
+    difference per set — distributed per set, never driver-side. One
+    union (one set_id's cells) is always group-sized (coverings are
+    <=max_cells, typically tens of cells), so per-group is the scale-safe
+    shape; the shuffle is a single hash partition on set_id."""
+    out_schema = f"{set_id} long, cell long"
+
+    def per_group(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import cellunion
+
+        if len(a_pdf) == 0:
+            return pd.DataFrame({set_id: [], "cell": []}).astype(
+                {set_id: "int64", "cell": "int64"}
+            )
+        ac = a_pdf["cell"].to_numpy().view(np.uint64)
+        if len(b_pdf) == 0:
+            diff = cellunion.normalize(ac)
+        else:
+            bc = b_pdf["cell"].to_numpy().view(np.uint64)
+            diff = cellunion.difference(ac, bc)
+        return pd.DataFrame(
+            {set_id: [key[0]] * len(diff), "cell": diff.view(np.int64)}
+        )
+
+    return (
+        a.groupBy(set_id)
+        .cogroup(b.groupBy(set_id))
+        .applyInPandas(per_group, schema=out_schema)
     )

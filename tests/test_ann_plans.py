@@ -119,3 +119,55 @@ class TestPlans:
         tiles.collect()
         final = tiles._jdf.queryExecution().executedPlan().toString()
         assert "WholeStageCodegen" in final or "*(1)" in final
+
+
+class TestNearDupContract:
+    """The contract near-dup query: banded-LSH candidates + exact cosine."""
+
+    def test_no_cartesian_in_plan(self, spark):
+        from s2geo_spark import contract
+
+        df = contract.q_embedding_near_dup(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_recall_vs_brute(self, spark):
+        """Banded LSH keeps >=1/3 of pairs even at the fixture's
+        near-noise threshold (0.4); real near-dups (cos>=0.85) would be
+        kept with prob ~1 - (1 - 0.81^4)^8 > 0.999."""
+        import duckdb
+
+        from s2geo_spark import contract
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in contract.q_embedding_near_dup(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        )
+        brute = con.sql("""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val*val ORDER BY idx)) AS nrm FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val ORDER BY a.idx) AS dot
+  FROM flat a JOIN flat b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+""").df()
+        truth = set(zip(brute["id_a"], brute["id_b"]))
+        assert got <= truth  # no false positives: exact cosine on candidates
+        if truth:
+            assert len(got & truth) / len(truth) >= 0.33

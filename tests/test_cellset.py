@@ -120,3 +120,32 @@ def test_set_intersection_cells(spark, unions, sets_df):
             picks.append(c)
     want = cellunion.normalize(np.array(picks, dtype=np.uint64))
     assert (got == want).all()
+
+
+def test_set_difference_matches_kernel(spark, unions, sets_df):
+    # A \ B for every ordered pair, aligned on a shared set_id per pair.
+    for i in unions:
+        for j in unions:
+            if i == j:
+                continue
+            a = sets_df.filter(F.col("set_id") == i).withColumn(
+                "set_id", F.lit(0).cast("long")
+            )
+            b = sets_df.filter(F.col("set_id") == j).withColumn(
+                "set_id", F.lit(0).cast("long")
+            )
+            got = cellset.set_difference(a, b).toPandas()
+            got_cells = cellunion.normalize(
+                got["cell"].to_numpy().view(np.uint64)
+            )
+            want = cellunion.normalize(
+                cellunion.difference(unions[i], unions[j])
+            )
+            assert (got_cells == want).all(), (i, j)
+
+
+def test_set_intersection_cells_no_cartesian(spark, sets_df):
+    a = sets_df.select(F.col("set_id").alias("a_id"), "cell")
+    b = sets_df.select(F.col("set_id").alias("b_id"), "cell")
+    plan = cellset.set_intersection_cells(a, b)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

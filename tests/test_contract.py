@@ -56,13 +56,26 @@ ROWS_ONLY = {"h3_tile_counts"}
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
-    got = normalize(q(spark, SF_DIR).toPandas())
+    raw_got = q(spark, SF_DIR).toPandas()
+    got = normalize(raw_got)
     if name in ROWS_ONLY:
         assert sql is None
         assert len(got) > 0
         return
     assert sql is not None, f"{name} has no oracle"
-    want = normalize(ddb.sql(sql).df())
+    raw_want = ddb.sql(sql).df()
+    # The driver hashes raw values: a DuckDB HUGEINT arriving as float64
+    # where Spark emits BIGINT breaks hash_match even when values agree
+    # (round-1 failure mode). Catch dtype-kind drift before normalization.
+    for c in raw_got.columns:
+        if c in raw_want.columns:
+            gk = raw_got[c].dtype.kind
+            wk = raw_want[c].dtype.kind
+            if gk in "iu" or wk in "iu":
+                assert gk in "iu" and wk in "iu", (
+                    name, c, f"spark={raw_got[c].dtype}", f"oracle={raw_want[c].dtype}"
+                )
+    want = normalize(raw_want)
     assert list(got.columns) == list(want.columns), (
         name,
         list(got.columns),
