@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "s2_quad_counts",
     "s2_cap_join",
     "s2_pip_join",
+    "s2_pip_large",
     "s2_knn",
     "dedup_minhash",
     "dedup_jaccard_pairs",
@@ -116,8 +117,11 @@ def pages_pipeline(spark, n_pages: int) -> int:
     pages = pages_table(spark, n_pages)
     geo = pages_src.extract_geo(pages).filter(F.col("lat").isNotNull())
     pts = geo.select(F.col("url").alias("point_id"), "lat", "lon")
-    cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
-    joined = spatial.contains_join_quads(pts, cov_df, prepared, emit_cell=True)
+    from s2geo_spark import contract
+
+    joined = spatial.contains_join_indexed(
+        pts, contract._pip_index(spark), emit_cell=True
+    )
     tiles = (
         joined.withColumn("tile", sfn.tile_assign("cell", fx.TILE_LEVEL))
         .groupBy("polygon_id", "tile")

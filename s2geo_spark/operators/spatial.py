@@ -318,6 +318,240 @@ def contains_join_quads(
 
 
 # ---------------------------------------------------------------------------
+# Shape-indexed containment join: distributed prep + per-cell edge clipping
+# ---------------------------------------------------------------------------
+
+def polygons_to_df(
+    spark: SparkSession, polygons: dict[int, "np.ndarray | list"]
+) -> DataFrame:
+    """{polygon_id: (m,3) loop | [loops...]} -> DataFrame(polygon_id,
+    loops array<array<double>>) — the distributed-prep input shape. In
+    production this table comes straight off storage (WKB/parquet layer);
+    here the fixture dict is tiny and the conversion is O(vertices)."""
+    rows = []
+    for pid, vs in sorted(polygons.items()):
+        loop_list = vs if isinstance(vs, list) else [vs]
+        rows.append(
+            (
+                int(pid),
+                [np.asarray(lp, dtype=np.float64).ravel().tolist() for lp in loop_list],
+            )
+        )
+    return spark.createDataFrame(rows, "polygon_id long, loops array<array<double>>")
+
+
+def build_index_df(
+    polys: DataFrame,
+    min_level: int = TERM_MIN_LEVEL,
+    max_level: int = TERM_MAX_LEVEL,
+    max_cells: int = TERM_MAX_CELLS,
+    max_edges_per_cell: int = 16,
+) -> DataFrame:
+    """Distributed polygon prep (VERDICT r1 #5 / SURVEY §3.2): covering +
+    per-cell clipped edge lists computed in an applyInPandas over the
+    polygon DataFrame — no driver-side per-polygon loop, no whole-polygon
+    broadcast. Output: one row per index cell,
+
+      (polygon_id, cell, quad, lvl, is_interior, contains_center,
+       edges array<double> (6 per edge), ksigns array<int>)
+
+    Boundary cells hold <= max_edges_per_cell clipped edges
+    (mutable_s2shape_index.cc:69-76); the residual tests only those.
+    """
+    schema = (
+        "polygon_id long, cell long, quad long, lvl int, "
+        "is_interior boolean, contains_center boolean, "
+        "edges array<double>, ksigns array<int>"
+    )
+
+    def per_poly(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import cellid_v1 as _v1
+        from s2geo_spark.kernel import shapeindex as _si
+
+        out = []
+        for _, row in pdf.iterrows():
+            loop_arrays = [
+                np.asarray(lp, dtype=np.float64).reshape(-1, 3)
+                for lp in row["loops"]
+            ]
+            idx = _si.build_polygon_index(
+                loop_arrays,
+                min_level=min_level,
+                max_level=max_level,
+                max_cells=max_cells,
+                max_edges_per_cell=max_edges_per_cell,
+            )
+            cells_u = idx["cell"].view(np.uint64)
+            lvl = _v1.level(cells_u)
+            f, i, j = _v1.to_face_ij_orientation(cells_u)
+            s = (30 - lvl).astype(np.int64)
+            quad = (
+                f.astype(np.int64) * (1 << 58)
+                + lvl.astype(np.int64) * (1 << 53)
+                + (i >> s) * (1 << 26)
+                + (j >> s)
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "polygon_id": row["polygon_id"],
+                        "cell": idx["cell"],
+                        "quad": quad,
+                        "lvl": lvl.astype(np.int32),
+                        "is_interior": idx["is_interior"],
+                        "contains_center": idx["contains_center"],
+                        "edges": [e.ravel().tolist() for e in idx["edges"]],
+                        "ksigns": [k.astype(int).tolist() for k in idx["ksigns"]],
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            columns=[
+                "polygon_id", "cell", "quad", "lvl", "is_interior",
+                "contains_center", "edges", "ksigns",
+            ]
+        )
+
+    return polys.groupBy("polygon_id").applyInPandas(per_poly, schema=schema)
+
+
+_ANCHOR_CACHE: dict = {}
+
+
+def _residual_group(pid: int, cell: int, contains_center: bool, edges, ksigns, pts3):
+    """Worker-side anchored parity for one (polygon, cell) group; the
+    per-(polygon, cell) anchor machinery is memoized per executor."""
+    from s2geo_spark.kernel import cellid_v1 as _v1
+    from s2geo_spark.kernel import shapeindex as _si
+
+    key = (pid, cell)
+    cached = _ANCHOR_CACHE.get(key)
+    if cached is None:
+        cid = np.array([cell], dtype=np.int64).view(np.uint64)
+        cx, cy, cz = _v1.to_point(cid)
+        anchor = np.array([cx[0], cy[0], cz[0]])
+        em = np.asarray(edges, dtype=np.float64).reshape(-1, 6)
+        km = np.asarray(ksigns, dtype=np.int8)
+        cached = (anchor, em, km)
+        if len(_ANCHOR_CACHE) < 65536:
+            _ANCHOR_CACHE[key] = cached
+    anchor, em, km = cached
+    return _si.contains_from_anchor(anchor, bool(contains_center), em, km, pts3)
+
+
+def contains_join_indexed(
+    points: DataFrame,
+    index_df: DataFrame,
+    point_id: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_index: bool = True,
+    rebalance: bool = True,
+    emit_cell: bool = False,
+) -> DataFrame:
+    """Containment join against a shape-index table (from build_index_df).
+
+    Plan (the 100TB shape):
+      1. scan side: (face,i,j) from pure Catalyst trig, explode quad keys
+         at the index's levels (tiny distinct-levels aggregate) — no UDF;
+      2. ONE hash equi-join candidates vs the slim (quad, polygon_id,
+         cell, is_interior) projection (broadcast when small);
+      3. round-robin rebalance of the slim candidates (skew: hot cells);
+      4. broadcast re-attach of (contains_center, edges, ksigns) on
+         (polygon_id, cell) — no extra shuffle, rows stay slim through 3;
+      5. mapInPandas residual: interior rows stream through; boundary rows
+         run the anchored crossing parity against <=max_edges_per_cell
+         clipped edges — work scales with edges-per-cell, not polygon size
+         (s2loop.cc:549-601 indexed walk).
+    SEMI_OPEN vertex model, identical to contains_join (tests assert
+    equality against the brute path).
+    """
+    spark = points.sparkSession
+    levels = sorted(
+        int(r["lvl"]) for r in index_df.select("lvl").distinct().collect()
+    )
+    fcol, icol, jcol = sf.s2_face_ij_cols(lat, lon)
+    pts = points.withColumns({"f": fcol, "i": icol, "j": jcol})
+    quads = F.array(*[sf.quad_key("f", "i", "j", L) for L in levels])
+    terms = pts.withColumn("term", F.explode(quads))
+
+    slim = index_df.select("quad", "polygon_id", "cell", "is_interior")
+    slim = F.broadcast(slim) if broadcast_index else slim
+    cand = terms.join(slim, terms["term"] == slim["quad"], "inner").drop(
+        "term", "quad"
+    )
+    if rebalance:
+        cand = cand.repartition(spark.sparkContext.defaultParallelism * 2)
+
+    detail = index_df.select(
+        F.col("polygon_id").alias("d_pid"),
+        F.col("cell").alias("d_cell"),
+        "contains_center",
+        "edges",
+        "ksigns",
+    )
+    detail = F.broadcast(detail) if broadcast_index else detail
+    cand = cand.join(
+        detail,
+        (cand["polygon_id"] == detail["d_pid"]) & (cand["cell"] == detail["d_cell"]),
+        "inner",
+    ).drop("d_pid", "d_cell")
+
+    drop_cols = ["is_interior", "contains_center", "edges", "ksigns", "cell"]
+    base_schema = cand.drop(*drop_cols).schema
+    if emit_cell:
+        from pyspark.sql.types import LongType, StructField
+
+        out_schema = base_schema.add(StructField("cell", LongType()))
+    else:
+        out_schema = base_schema
+    lat_name, lon_name = lat, lon
+
+    def pip_iter(batches):
+        from s2geo_spark.kernel import cellid_v1 as _v1
+        from s2geo_spark.kernel import s2coords as _sc
+
+        for pdf in batches:
+            keep = pdf["is_interior"].to_numpy(dtype=bool).copy()
+            boundary = pdf.loc[~keep]
+            if len(boundary):
+                x, y, z = _sc.latlng_degrees_to_xyz(
+                    boundary[lat_name].to_numpy(), boundary[lon_name].to_numpy()
+                )
+                pts3_all = np.stack([x, y, z], axis=1)
+                pos = pdf.index.get_indexer(boundary.index)
+                grp_codes, _ = pd.factorize(
+                    boundary["polygon_id"].astype(str) + "_" + boundary["cell"].astype(str)
+                )
+                for g in np.unique(grp_codes):
+                    rows = np.nonzero(grp_codes == g)[0]
+                    first = boundary.iloc[rows[0]]
+                    inside = _residual_group(
+                        int(first["polygon_id"]),
+                        int(first["cell"]),
+                        bool(first["contains_center"]),
+                        first["edges"],
+                        first["ksigns"],
+                        pts3_all[rows],
+                    )
+                    keep[pos[rows]] = inside
+            out = pdf.loc[keep].drop(
+                columns=[c for c in drop_cols if c != "cell" or not emit_cell]
+            )
+            if emit_cell:
+                out = out.assign(
+                    cell=_v1.from_face_ij(
+                        out["f"].to_numpy(dtype=np.int64),
+                        out["i"].to_numpy(dtype=np.int64),
+                        out["j"].to_numpy(dtype=np.int64),
+                    ).view(np.int64)
+                )
+            yield out
+
+    return cand.mapInPandas(pip_iter, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Cap containment join (distance-style predicate, fully JVM-side residual)
 # ---------------------------------------------------------------------------
 

@@ -51,6 +51,30 @@ def convex_edge_normals(pid: int):
     return [tuple(float(c) for c in row) for row in w]
 
 
+# --- large convex polygons (regular k-gons) for the shape-index path -------
+# (lat, lon, radius_deg, n_vertices): big enough that the per-cell edge
+# clipping (max 16 edges/cell) matters — the index subdivides to dozens of
+# boundary cells instead of testing all k edges per candidate.
+LARGE_POLYGONS = {
+    10: (40.0, -100.0, 9.0, 512),
+    11: (-25.0, 135.0, 10.0, 1024),
+}
+
+
+def large_pip_loops() -> dict[int, np.ndarray]:
+    return {
+        pid: loops.make_regular_loop(la, lo, r, k)
+        for pid, (la, lo, r, k) in LARGE_POLYGONS.items()
+    }
+
+
+def large_convex_edge_normals(pid: int):
+    vs = large_pip_loops()[pid]
+    d = np.roll(vs, -1, axis=0)
+    w = np.cross(vs, d)
+    return [tuple(float(c) for c in row) for row in w]
+
+
 # --- rects: (rect_id, lat_lo, lat_hi, lng_lo, lng_hi) ----------------------
 RECTS = [
     (0, 30.0, 55.0, -10.0, 40.0),

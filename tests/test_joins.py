@@ -179,3 +179,67 @@ class TestKnnJoin:
             want_ids = points_pdf["point_id"].to_numpy()[order[:k]].tolist()
             got_ids = got[got["query_id"] == qi]["point_id"].tolist()
             assert got_ids == want_ids, f"query {qi}"
+
+
+class TestContainsJoinIndexed:
+    """Shape-indexed path (distributed prep + per-cell edge clipping) must
+    agree exactly with the scalar brute oracle — including a 512-gon whose
+    index subdivides to <=16 edges/cell."""
+
+    def test_matches_bruteforce(self, spark, points_df, points_pdf):
+        polys = spatial.polygons_to_df(spark, POLYGONS)
+        index_df = spatial.build_index_df(polys)
+        got = (
+            spatial.contains_join_indexed(points_df, index_df)
+            .select("point_id", "polygon_id")
+            .toPandas()
+            .sort_values(["point_id", "polygon_id"])
+            .reset_index(drop=True)
+        )
+        x, y, z = sc.latlng_degrees_to_xyz(
+            points_pdf["lat"].to_numpy(), points_pdf["lon"].to_numpy()
+        )
+        pts = np.stack([x, y, z], axis=1)
+        rows = []
+        for pid, verts in POLYGONS.items():
+            lp = loops.PreparedLoop(verts)
+            inside = lp.contains_points(pts)
+            for idx in np.nonzero(inside)[0]:
+                rows.append((int(points_pdf["point_id"].iloc[idx]), pid))
+        want = (
+            pd.DataFrame(rows, columns=["point_id", "polygon_id"])
+            .sort_values(["point_id", "polygon_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), (len(got), len(want))
+        assert (got["point_id"].to_numpy() == want["point_id"].to_numpy()).all()
+        assert (got["polygon_id"].to_numpy() == want["polygon_id"].to_numpy()).all()
+
+    def test_index_bounds_edges_per_cell(self, spark):
+        big = {7: loops.make_regular_loop(40.0, -100.0, 6.0, 2048)}
+        index_df = spatial.build_index_df(
+            spatial.polygons_to_df(spark, big), max_edges_per_cell=16
+        )
+        pdf = index_df.toPandas()
+        n_edges = pdf["edges"].apply(lambda e: len(e) // 6)
+        assert n_edges.max() <= 16
+        assert (pdf.loc[pdf["is_interior"], "edges"].apply(len) == 0).all()
+        # residual work scales with edges-per-cell: a 2048-gon boundary
+        # cell carries at most 16 of the 2048 edges
+        assert len(pdf) > 64
+
+    def test_emit_cell_matches_leaf(self, spark, points_df):
+        polys = spatial.polygons_to_df(spark, {1: POLYGONS[1]})
+        index_df = spatial.build_index_df(polys)
+        # leaf cell emitted must equal the kernel encode of (lat, lon)
+        pdf = (
+            spatial.contains_join_indexed(points_df, index_df, emit_cell=True)
+            .select("point_id", "cell", "lat", "lon")
+            .toPandas()
+        )
+        from s2geo_spark.kernel import cellid_v1 as v1
+
+        want = v1.from_latlng(
+            pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
+        ).view(np.int64)
+        assert (pdf["cell"].to_numpy() == want).all()
