@@ -136,14 +136,58 @@ class PreparedLoop:
             lng_full = True
         if lng_full:
             return regions.LatLngRect(lat_lo, lat_hi, -180.0, 180.0)
-        # wrap-aware hull of vertex longitudes: center on circular mean
-        rad = np.radians(lng)
-        mean = np.degrees(np.arctan2(np.sin(rad).mean(), np.cos(rad).mean()))
-        rel = ((lng - mean) + 180.0) % 360.0 - 180.0
-        lo = mean + float(rel.min()) - 1e-9
-        hi = mean + float(rel.max()) + 1e-9
-        lo = ((lo + 180.0) % 360.0) - 180.0
-        hi = ((hi + 180.0) % 360.0) - 180.0
+        # Longitude hull = union of per-edge short-way intervals (a geodesic
+        # edge spanning < 180 deg covers exactly the short-way longitude
+        # interval between its endpoints — S2LatLngRectBounder,
+        # s2latlng_rect_bounder.cc:58-106). The old vertex-only hull around
+        # the circular mean could clip a sliver when an edge crossed the
+        # meridian antipodal to the mean (ADVICE r1).
+        l1 = lng
+        l2 = np.roll(lng, -1)
+        d = ((l2 - l1) + 180.0) % 360.0 - 180.0  # signed short-way delta
+        starts = np.where(d >= 0, l1, l2) % 360.0
+        widths = np.abs(d)
+        # sweep on [0, 360): find the largest uncovered gap; the hull is its
+        # complement. Intervals crossing 360 are split.
+        ss, ee = [], []
+        for s, w in zip(starts, widths):
+            e = s + w
+            if e <= 360.0:
+                ss.append(s)
+                ee.append(e)
+            else:
+                ss.append(s)
+                ee.append(360.0)
+                ss.append(0.0)
+                ee.append(e - 360.0)
+        order = np.argsort(np.asarray(ss))
+        ssa = np.asarray(ss)[order]
+        eea = np.asarray(ee)[order]
+        # merge overlapping segments
+        merged = []
+        cs, ce = float(ssa[0]), float(eea[0])
+        for s, e in zip(ssa[1:], eea[1:]):
+            if s <= ce + 1e-12:
+                ce = max(ce, float(e))
+            else:
+                merged.append((cs, ce))
+                cs, ce = float(s), float(e)
+        merged.append((cs, ce))
+        # largest gap between consecutive merged segments (incl. wrap gap)
+        best_gap, gap_end, gap_start = -1.0, 0.0, 0.0
+        for idx in range(len(merged)):
+            nxt = merged[(idx + 1) % len(merged)]
+            g = (nxt[0] - merged[idx][1]) % 360.0 if len(merged) > 1 else (
+                (merged[0][0] + 360.0 - merged[0][1]) % 360.0
+            )
+            if g > best_gap:
+                best_gap = g
+                gap_end = merged[idx][1]   # hull hi
+                gap_start = nxt[0] if len(merged) > 1 else merged[0][0]
+        if best_gap <= 1e-12:
+            return regions.LatLngRect(lat_lo, lat_hi, -180.0, 180.0)
+        lo = ((gap_start - 1e-9 + 180.0) % 360.0) - 180.0
+        hi = ((gap_end + 1e-9 + 180.0) % 360.0) - 180.0
         return regions.LatLngRect(lat_lo - 1e-9, min(lat_hi + 1e-9, 90.0), lo, hi)
 
     # -- point containment --------------------------------------------------

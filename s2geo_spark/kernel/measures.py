@@ -91,14 +91,47 @@ def polyline_length(vertices: np.ndarray) -> float:
     return float(angle(v[:-1], v[1:]).sum())
 
 
+def true_triangle_centroid(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Exact (non-normalized) surface integral of position over oriented
+    spherical triangles — the reference TrueCentroid formula
+    (s2centroids.cc:27-71): with r_x = theta_x / sin(theta_x) for each
+    vertex's opposite edge angle, centroid = 0.5 * det-combinations of the
+    coordinate columns weighted by r. Antisymmetric in vertex order, so a
+    fan sum over any anchor integrates the loop interior exactly.
+    Vectorized over (n, 3) triangle batches."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64))
+
+    def _r(p, q):
+        ang = angle(p, q)
+        s = np.sin(ang)
+        return np.where(s == 0.0, 1.0, ang / np.where(s == 0.0, 1.0, s))
+
+    ra = _r(b, c)
+    rb = _r(c, a)
+    rc = _r(a, b)
+    # columns: x = (a_x, b_x, c_x), y = ..., z = ... per triangle
+    x = np.stack([a[:, 0], b[:, 0], c[:, 0]], axis=1)
+    y = np.stack([a[:, 1], b[:, 1], c[:, 1]], axis=1)
+    z = np.stack([a[:, 2], b[:, 2], c[:, 2]], axis=1)
+    r = np.stack([ra, rb, rc], axis=1)
+    out = 0.5 * np.stack(
+        [
+            (np.cross(y, z) * r).sum(axis=1),
+            (np.cross(z, x) * r).sum(axis=1),
+            (np.cross(x, y) * r).sum(axis=1),
+        ],
+        axis=1,
+    )
+    return out
+
+
 def loop_centroid(vertices: np.ndarray) -> np.ndarray:
-    """True (area-weighted, non-normalized) centroid of the loop interior
-    (s2centroids.cc TrueCentroid over the triangle fan)."""
+    """True (area-weighted, non-normalized) centroid of the loop interior:
+    exact TrueCentroid surface integral summed over the vertex-0 fan
+    (s2centroids.cc:27-71; S2Loop::GetCentroid via GetSurfaceIntegral,
+    s2loop.cc:333-352)."""
     v = np.asarray(vertices, dtype=np.float64)
-    anchor = v[0]
-    a = v[1:-1]
-    b = v[2:]
-    areas = signed_triangle_area(np.broadcast_to(anchor, a.shape), a, b)
-    # triangle true centroid ~ (a+b+c) scaled; adequate first-order form:
-    tri_cent = _norm_rows(anchor[None, :] + a + b)
-    return (areas[:, None] * tri_cent).sum(axis=0)
+    anchor = np.broadcast_to(v[0], v[1:-1].shape)
+    return true_triangle_centroid(anchor, v[1:-1], v[2:]).sum(axis=0)

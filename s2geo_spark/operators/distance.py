@@ -27,7 +27,18 @@ from s2geo_spark.operators.spatial import xyz_cols
 
 def _ring_level_for_radius(radius_rad: float) -> int:
     """Coarsest level whose min cell width still exceeds the radius, so a
-    3x3 ring around the center cell covers the whole cap."""
+    3x3 ring around the center cell covers the whole cap.
+
+    Raises for radii the level-0 ring provably cannot cover (the ring of
+    face cells omits the antipodal face): silent clamping would drop valid
+    pairs (ADVICE r1). Such radii (> ~72 deg) are not a neighbor-join
+    workload — use a full cross strategy explicitly if ever needed."""
+    if radius_rad > metrics.MIN_WIDTH_DERIV:
+        raise ValueError(
+            f"distance_join radius {radius_rad:.3f} rad exceeds level-0 ring "
+            f"coverage ({metrics.MIN_WIDTH_DERIV:.3f} rad); the 3x3 face ring "
+            "would silently omit the antipodal face"
+        )
     lvl = int(
         metrics.level_for_min_value(metrics.MIN_WIDTH_DERIV, np.array([radius_rad]))[0]
     )

@@ -80,3 +80,13 @@ def test_polyline_distance_join(spark):
     assert got_pairs == want
     assert len(got_pairs) > 0  # the near line catches some points
     assert not any(lid == 2 for _, lid in got_pairs)  # far line catches none
+
+
+def test_distance_join_radius_overflow_raises():
+    import pytest as _pytest
+
+    from s2geo_spark.kernel import metrics
+    from s2geo_spark.operators import distance
+
+    with _pytest.raises(ValueError):
+        distance._ring_level_for_radius(metrics.MIN_WIDTH_DERIV * 1.01)
