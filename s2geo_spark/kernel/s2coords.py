@@ -111,15 +111,30 @@ def get_face(x, y, z):
 def valid_face_xyz_to_uv(face, x, y, z):
     """(face, xyz) -> (u, v) per the per-face division table.
 
-    Mirrors ValidFaceXYZtoUV (src/s2/s2coords.h:376-387).
+    Mirrors ValidFaceXYZtoUV (src/s2/s2coords.h:376-387) with two divisions:
+    every face's (u, v) is (num_u / denom, num_v / denom) where denom is
+    the major-axis component, so gather numerators/denominator and divide
+    once per coordinate (the old np.select form paid 12 full-array
+    divisions). Real IEEE divisions — bit-identical to the per-face y/x
+    forms the reference and the SQL oracles use.
     """
     face = np.asarray(face)
-    conds = [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5]
-    # np.select evaluates every branch; divisions on non-selected faces may
-    # touch zero denominators, which is harmless — silence the warnings.
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    if face.ndim == 0:
+        face = face[None]
+        x, y, z = np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)
+        scalar = True
+    else:
+        scalar = False
+    nx, ny = -x, -y
+    denom = np.choose(face % 3, [x, y, z])
     with np.errstate(divide="ignore", invalid="ignore"):
-        u = np.select(conds, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
-        v = np.select(conds, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
+        u = np.choose(face, [y, nx, nx, z, z, ny]) / denom
+        v = np.choose(face, [z, z, ny, y, nx, nx]) / denom
+    if scalar:
+        return u[0], v[0]
     return u, v
 
 
