@@ -330,7 +330,9 @@ def q_knn(spark, sf_dir):
     )
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
     return knn_op.knn_join(queries, pts, k=fx.KNN_K).select(
-        "query_id", "rank", F.col("point_id").alias("neighbor_id")
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("point_id").alias("neighbor_id"),
     )
 
 

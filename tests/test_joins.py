@@ -243,3 +243,58 @@ class TestContainsJoinIndexed:
             pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
         ).view(np.int64)
         assert (pdf["cell"].to_numpy() == want).all()
+
+
+class TestKnnSkewed:
+    """Density-tiered kNN: hot-city cluster + empty-ocean queries — the
+    skew fixture from VERDICT r1 #8. Exact vs exhaustive numpy oracle and
+    no cartesian product anywhere in the executed plan."""
+
+    def test_skewed_exact_and_no_cartesian(self, spark):
+        rng = np.random.default_rng(99)
+        # points: 5000 in a dense "city" (0.2 deg), 50 scattered globally
+        n_city, n_scatter = 5000, 50
+        lat = np.concatenate([
+            47.37 + rng.normal(0, 0.1, n_city),
+            rng.uniform(-60, 60, n_scatter),
+        ])
+        lon = np.concatenate([
+            8.54 + rng.normal(0, 0.1, n_city),
+            rng.uniform(-180, 180, n_scatter),
+        ])
+        pts = pd.DataFrame({
+            "point_id": np.arange(len(lat), dtype=np.int64),
+            "lat": lat, "lon": lon,
+        })
+        # queries: 20 in the city, 10 mid-ocean (nearest point ~1000s km)
+        qlat = np.concatenate([
+            47.37 + rng.normal(0, 0.05, 20), [-45, -50, 10, 0, -20, 30, -55, 5, -10, 15.0]
+        ])
+        qlon = np.concatenate([
+            8.54 + rng.normal(0, 0.05, 20), [-140, 100, -160, -130, 80, -170, 140, 170, -110, -150.0]
+        ])
+        qs = pd.DataFrame({
+            "query_id": np.arange(len(qlat), dtype=np.int64),
+            "lat": qlat, "lon": qlon,
+        })
+        k = 3
+        res = knn_op.knn_join(
+            spark.createDataFrame(qs), spark.createDataFrame(pts), k=k
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        got = res.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        # exhaustive oracle
+        qx, qy, qz = sc.latlng_degrees_to_xyz(qlat, qlon)
+        px, py, pz = sc.latlng_degrees_to_xyz(lat, lon)
+        d2 = (
+            (qx[:, None] - px[None, :]) ** 2
+            + (qy[:, None] - py[None, :]) ** 2
+            + (qz[:, None] - pz[None, :]) ** 2
+        )
+        for qi in range(len(qlat)):
+            order = np.lexsort((np.arange(len(lat)), d2[qi]))
+            want = order[:k]
+            sub = got[got["query_id"] == qi]
+            assert sub["point_id"].tolist() == want.tolist(), qi
