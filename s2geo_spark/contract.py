@@ -274,6 +274,54 @@ xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
 """
 
 
+def q_edge_crossings(spark, sf_dir):
+    """Edge-crossing join (S2CrossingEdgeQuery + GetIntersection,
+    s2crossing_edge_query.cc:389 / s2edge_crossings.cc:360): which
+    customer-layer edges properly cross each supplier-layer edge.
+    Candidates via ring-covering term duality; exact 4-det residual."""
+    from s2geo_spark.operators import crossing
+
+    a = geo.edges_from(_t(spark, sf_dir, "supplier"), "s_suppkey", "a_id")
+    b = geo.edges_from(_t(spark, sf_dir, "customer"), "c_custkey", "b_id")
+    return crossing.crossing_join(a, b, emit_points=False).select(
+        "a_id", "b_id"
+    )
+
+
+def o_edge_crossings():
+    def xyz(lat, lon, p):
+        return (
+            f"cos(radians({lon})) * cos(radians({lat})) AS {p}x, "
+            f"sin(radians({lon})) * cos(radians({lat})) AS {p}y, "
+            f"sin(radians({lat})) AS {p}z"
+        )
+
+    def det(c1, c2, p):
+        # ((c1 x c2) . p) with explicit component order matching np.cross
+        return (
+            f"((({c1}y*{c2}z - {c1}z*{c2}y) * {p}x"
+            f" + ({c1}z*{c2}x - {c1}x*{c2}z) * {p}y)"
+            f" + ({c1}x*{c2}y - {c1}y*{c2}x) * {p}z)"
+        )
+
+    d_abc = det("a1", "a2", "b1")
+    d_abd = det("a1", "a2", "b2")
+    d_cda = det("b1", "b2", "a1")
+    d_cdb = det("b1", "b2", "a2")
+    return f"""
+WITH ea AS ({geo.edges_sql('supplier', 's_suppkey', 'a_id')}),
+eb AS ({geo.edges_sql('customer', 'c_custkey', 'b_id')}),
+eav AS (SELECT a_id, {xyz('lat1', 'lon1', 'a1')}, {xyz('lat2', 'lon2', 'a2')} FROM ea),
+ebv AS (SELECT b_id, {xyz('lat1', 'lon1', 'b1')}, {xyz('lat2', 'lon2', 'b2')} FROM eb)
+SELECT a_id, b_id
+FROM eav, ebv
+WHERE sign({d_abc}) <> 0
+  AND sign({d_abd}) = -sign({d_abc})
+  AND sign({d_cdb}) = sign({d_abc})
+  AND sign({d_cda}) = -sign({d_abc})
+"""
+
+
 def q_pip_counts(spark, sf_dir):
     return (
         q_pip_join(spark, sf_dir)
@@ -1129,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_join": q_pip_join,
         "s2_pip_counts": q_pip_counts,
         "s2_pip_large": q_pip_large,
+        "s2_edge_crossings": q_edge_crossings,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
         "s2_distance_join": q_distance_join,
@@ -1163,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_join": o_pip_join(),
         "s2_pip_counts": o_pip_counts(),
         "s2_pip_large": o_pip_large(),
+        "s2_edge_crossings": o_edge_crossings(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
         "s2_distance_join": o_distance_join(),

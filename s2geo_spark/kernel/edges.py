@@ -105,3 +105,76 @@ class Polyline:
             self.vertices[:, 0], self.vertices[:, 1], self.vertices[:, 2]
         )
         return cellunion.normalize(v1.parent(leaf, 6))
+
+
+# ---------------------------------------------------------------------------
+# Edge-pair crossings + intersection points (s2edge_crossings.cc)
+# ---------------------------------------------------------------------------
+
+_TRIAGE_EPS = 32 * 2.220446049250313e-16
+
+
+def crossing_signs_pairs(a, b, c, d) -> np.ndarray:
+    """Paired CrossingSign for edge pairs (a_i,b_i) x (c_i,d_i): +1 proper
+    crossing, 0 shared-vertex/touching, -1 none (s2edge_crosser.cc:40-110).
+
+    Vectorized float triage over the four orientation dets; rows with any
+    det inside the triage band fall back to the exact scalar cascade
+    (predicates.crossing_sign, identical tie-breaks to the reference).
+    """
+    from . import predicates as pred
+
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64))
+    d = np.atleast_2d(np.asarray(d, dtype=np.float64))
+    axb = np.cross(a, b)
+    cxd = np.cross(c, d)
+    det_abc = (axb * c).sum(1)
+    det_abd = (axb * d).sum(1)
+    det_cda = (cxd * a).sum(1)
+    det_cdb = (cxd * b).sum(1)
+    acb = -np.sign(det_abc).astype(np.int8)
+    bda = np.sign(det_abd).astype(np.int8)
+    cbd = -np.sign(det_cdb).astype(np.int8)
+    dac = np.sign(det_cda).astype(np.int8)
+    cross = (acb == bda) & (bda == cbd) & (cbd == dac) & (acb != 0)
+    out = np.where(cross, 1, -1).astype(np.int8)
+    near = (
+        (np.abs(det_abc) <= _TRIAGE_EPS)
+        | (np.abs(det_abd) <= _TRIAGE_EPS)
+        | (np.abs(det_cda) <= _TRIAGE_EPS)
+        | (np.abs(det_cdb) <= _TRIAGE_EPS)
+    )
+    # shared vertices force the exact path (sign 0 semantics)
+    shared = (
+        (a == c).all(1) | (a == d).all(1) | (b == c).all(1) | (b == d).all(1)
+    )
+    for r in np.nonzero(near | shared)[0]:
+        out[r] = pred.crossing_sign(
+            tuple(a[r]), tuple(b[r]), tuple(c[r]), tuple(d[r])
+        )
+    return out
+
+
+def get_intersection(a, b, c, d) -> np.ndarray:
+    """Intersection points of properly-crossing edge pairs
+    (S2::GetIntersection, s2edge_crossings.cc:360-420 simple method): the
+    unit vector along cross(cross(a,b), cross(c,d)), signed into the
+    hemisphere of both edge midpoints. Callers must pre-filter with
+    crossing_signs_pairs > 0; accuracy is the float cross-product method
+    (the reference adds long-double/exact fallbacks for nearly-parallel
+    edges, documented as out of scope in COVERAGE.md)."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64))
+    d = np.atleast_2d(np.asarray(d, dtype=np.float64))
+    x = np.cross(np.cross(a, b), np.cross(c, d))
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(nrm, 1e-300)
+    # orient towards both edges' midpoints (crossing edges lie in one
+    # hemisphere of the intersection axis)
+    ref = (a + b) + (c + d)
+    flip = (x * ref).sum(1) < 0
+    x[flip] = -x[flip]
+    return x

@@ -1,0 +1,171 @@
+"""Edge-crossing joins: S2CrossingEdgeQuery + GetIntersection, relational.
+
+Which edges of layer B cross each edge of layer A, and where
+(src/s2/s2crossing_edge_query.cc:389 GetCrossingCandidates -> CrossingSign
+walk; intersection points via S2::GetIntersection,
+src/s2/s2edge_crossings.cc:360-420).
+
+Plan (the 100TB shape):
+  1. each edge -> its adaptive-level ring covering (cell of endpoint A at
+     the level whose kMinWidth >= edge length, + 8 neighbors): the ring
+     provably covers the edge, computed by one pandas UDF reusing the kNN
+     ring kernel (AppendAllNeighbors); the level choice is pure Catalyst
+     (log2 of the chord angle);
+  2. candidate (a, b) pairs via the ancestor/covering term duality — two
+     hash equi-joins (cellset.set_intersections), never a cartesian
+     product;
+  3. exact residual: the 4-det crossing triage vectorized per batch with
+     the exact predicate cascade on near-zero rows
+     (kernel.edges.crossing_signs_pairs), intersection points for proper
+     crossings (kernel.edges.get_intersection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from s2geo_spark import functions as sf
+from s2geo_spark.kernel import metrics
+from s2geo_spark.operators.cellset import set_intersections
+from s2geo_spark.operators.knn import _ring_cells
+
+
+def _xyz(lat, lon, px, py, pz):
+    phi = F.radians(F.col(lat))
+    theta = F.radians(F.col(lon))
+    return {
+        px: F.cos(theta) * F.cos(phi),
+        py: F.sin(theta) * F.cos(phi),
+        pz: F.sin(phi),
+    }
+
+
+def edge_ring_cells(
+    edges: DataFrame,
+    edge_id: str = "edge_id",
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+    max_level: int = 16,
+) -> DataFrame:
+    """(edge_id, cell) ring covering per edge.
+
+    Level = coarsest with kMinWidth >= edge angle (pure Catalyst: the
+    reference's ilogb metric inversion, s2metrics.h:184-189, as floor(log2)
+    with the float-slop nudge); the ring around endpoint-1's ancestor then
+    provably contains the whole edge (every edge point is within
+    edge-length <= kMinWidth(L) of endpoint 1)."""
+    e = edges.withColumns(_xyz(lat1, lon1, "ax", "ay", "az"))
+    e = e.withColumns(_xyz(lat2, lon2, "bx", "by", "bz"))
+    chord2 = (
+        (F.col("ax") - F.col("bx")) ** 2
+        + (F.col("ay") - F.col("by")) ** 2
+        + (F.col("az") - F.col("bz")) ** 2
+    )
+    angle = 2.0 * F.asin(F.least(F.sqrt(chord2) / 2.0, F.lit(1.0)))
+    raw = F.floor(F.log2(F.lit(metrics.MIN_WIDTH_DERIV) / F.greatest(angle, F.lit(1e-300))))
+    # nudge exactly like metrics.level_for_min_value
+    too_small = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -raw)) < angle
+    lvl = F.when(too_small, raw - 1).otherwise(raw)
+    ok_finer = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -(lvl + 1))) >= angle
+    lvl = F.when(ok_finer, lvl + 1).otherwise(lvl)
+    lvl = F.greatest(F.least(lvl, F.lit(max_level)), F.lit(0)).cast("int")
+    cell = sf.s2_cell_id(lat1, lon1)
+    ring = e.withColumn("c0", cell).withColumn("lvl", lvl)
+    return ring.select(
+        edge_id,
+        F.explode(F.array_distinct(_ring_cells("c0", "lvl"))).alias("cell"),
+    )
+
+
+def crossing_join(
+    a_edges: DataFrame,
+    b_edges: DataFrame,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    emit_points: bool = True,
+    include_touching: bool = False,
+) -> DataFrame:
+    """All (a_id, b_id) pairs whose edges cross.
+
+    a_edges/b_edges: (id, lat1, lon1, lat2, lon2). Output: (a_id, b_id,
+    sign) plus, with emit_points, the intersection unit vector (ix, iy,
+    iz) for proper crossings (null for touching pairs).
+    include_touching adds sign-0 pairs (shared vertex / vertex-on-edge,
+    EdgeOrVertexCrossing territory)."""
+    a_cells = edge_ring_cells(a_edges, edge_id=a_id).withColumnRenamed(a_id, "a_id_")
+    b_cells = edge_ring_cells(b_edges, edge_id=b_id).withColumnRenamed(b_id, "b_id_")
+    cand = set_intersections(
+        a_cells, b_cells, a_id="a_id_", b_id="b_id_", min_level=0, max_level=16
+    )
+
+    a_pts = a_edges.select(
+        F.col(a_id).alias("a_id_"),
+        F.col("lat1").alias("a_lat1"),
+        F.col("lon1").alias("a_lon1"),
+        F.col("lat2").alias("a_lat2"),
+        F.col("lon2").alias("a_lon2"),
+    )
+    b_pts = b_edges.select(
+        F.col(b_id).alias("b_id_"),
+        F.col("lat1").alias("b_lat1"),
+        F.col("lon1").alias("b_lon1"),
+        F.col("lat2").alias("b_lat2"),
+        F.col("lon2").alias("b_lon2"),
+    )
+    pairs = cand.join(a_pts, "a_id_").join(b_pts, "b_id_")
+
+    cols = ["a_id_", "b_id_", "sign"] + (
+        ["ix", "iy", "iz"] if emit_points else []
+    )
+    schema = "a_id_ long, b_id_ long, sign int" + (
+        ", ix double, iy double, iz double" if emit_points else ""
+    )
+
+    def batch_iter(batches):
+        from s2geo_spark.kernel import edges as _edges
+        from s2geo_spark.kernel import s2coords as _sc
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+
+            def xyz(lat_col, lon_col):
+                x, y, z = _sc.latlng_degrees_to_xyz(
+                    pdf[lat_col].to_numpy(), pdf[lon_col].to_numpy()
+                )
+                return np.stack([x, y, z], axis=1)
+
+            a1 = xyz("a_lat1", "a_lon1")
+            a2 = xyz("a_lat2", "a_lon2")
+            b1 = xyz("b_lat1", "b_lon1")
+            b2 = xyz("b_lat2", "b_lon2")
+            sign = _edges.crossing_signs_pairs(a1, a2, b1, b2)
+            keep = sign >= (0 if include_touching else 1)
+            out = pd.DataFrame(
+                {
+                    "a_id_": pdf["a_id_"].to_numpy()[keep],
+                    "b_id_": pdf["b_id_"].to_numpy()[keep],
+                    "sign": sign[keep].astype(np.int32),
+                }
+            )
+            if emit_points:
+                proper = out["sign"].to_numpy() == 1
+                pts = np.full((len(out), 3), np.nan)
+                if proper.any():
+                    sel = np.nonzero(keep)[0][proper]
+                    pts[proper] = _edges.get_intersection(
+                        a1[sel], a2[sel], b1[sel], b2[sel]
+                    )
+                out["ix"], out["iy"], out["iz"] = pts[:, 0], pts[:, 1], pts[:, 2]
+            yield out
+
+    res = pairs.mapInPandas(batch_iter, schema=schema)
+    return res.select(
+        F.col("a_id_").alias(a_id), F.col("b_id_").alias(b_id),
+        *cols[2:],
+    )
