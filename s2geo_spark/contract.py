@@ -436,14 +436,134 @@ WHERE (lx.x-rx.x)*(lx.x-rx.x) + (lx.y-rx.y)*(lx.y-rx.y) + (lx.z-rx.z)*(lx.z-rx.z
 """
 
 
-def q_h3_counts(spark, sf_dir):
-    """Hex-tile rollup (no SQL oracle possible — H3 math; rows-only check)."""
-    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
-    return (
-        pts.select(sf.h3_cell("lat", "lon", 3).alias("hex"))
-        .groupBy("hex")
-        .agg(F.count("*").alias("cnt"))
+_H3_TILE_RES = 3
+
+_H3FAB_SCHEMA = StructType(
+    [
+        StructField("face", IntegerType()),
+        StructField("a", LongType()),
+        StructField("b", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_H3FAB_SCHEMA)
+def _h3_fab_udf(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+    from s2geo_spark.kernel import h3 as h3k
+
+    face, x, y = h3k._geo_to_hex2d(lat.to_numpy(), lon.to_numpy(), _H3_TILE_RES)
+    i, j, k = h3k._hex2d_to_ijk(x, y)
+    return pd.DataFrame(
+        {"face": np.asarray(face, dtype=np.int32), "a": i - k, "b": j - k}
     )
+
+
+def q_h3_counts(spark, sf_dir):
+    """Hex-tile rollup at res 3. The grouping key (face, a, b) — axial
+    hex coordinates on the face grid — is bijective with the packed hex
+    id at a fixed resolution, and unlike the id it is reproducible in
+    plain SQL: the DuckDB oracle re-derives the full pipeline (argmax
+    face, gnomonic projection, linear res-rotation, cube rounding) from
+    the same published constants. Upgrades round-1's only un-oracled
+    query to a real value-checked row."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    fab = pts.select(_h3_fab_udf("lat", "lon").alias("t")).select(
+        F.col("t.face").alias("face"), F.col("t.a").alias("a"), F.col("t.b").alias("b")
+    )
+    return fab.groupBy("face", "a", "b").agg(F.count("*").alias("cnt"))
+
+
+def o_h3_counts():
+    from s2geo_spark.kernel import h3 as h3k
+
+    # 20 face-dot expressions, numpy sum order ((x*cx + y*cy) + z*cz)
+    dots = []
+    for f in range(20):
+        c = h3k.FACE_CENTERS[f]
+        dots.append(f"((x * {c[0]!r} + y * {c[1]!r}) + z * {c[2]!r}) AS d{f}")
+    gmax = "greatest(" + ", ".join(f"d{f}" for f in range(20)) + ")"
+    face_case = (
+        "CASE " + " ".join(f"WHEN d{f} = gmax THEN {f}" for f in range(20)) + " END"
+    )
+
+    def fc_case(vals):
+        return (
+            "CASE face "
+            + " ".join(f"WHEN {f} THEN {vals[f]!r}" for f in range(20))
+            + " END"
+        )
+
+    cfx = fc_case([h3k.FACE_CENTERS[f][0] for f in range(20)])
+    cfy = fc_case([h3k.FACE_CENTERS[f][1] for f in range(20)])
+    cfz = fc_case([h3k.FACE_CENTERS[f][2] for f in range(20)])
+    ux = fc_case([h3k.FACE_U[f][0] for f in range(20)])
+    uy = fc_case([h3k.FACE_U[f][1] for f in range(20)])
+    uz = fc_case([h3k.FACE_U[f][2] for f in range(20)])
+    vx = fc_case([h3k.FACE_V[f][0] for f in range(20)])
+    vy = fc_case([h3k.FACE_V[f][1] for f in range(20)])
+    vz = fc_case([h3k.FACE_V[f][2] for f in range(20)])
+    dface = (
+        "CASE face " + " ".join(f"WHEN {f} THEN d{f}" for f in range(20)) + " END"
+    )
+    kk, cphi, sphi = h3k._res_rotation(_H3_TILE_RES)
+    sin60 = float(h3k._SIN60)
+    return f"""
+WITH pts AS ({geo.points_sql('customer', 'c_custkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts),
+dd AS (SELECT *, {', '.join(dots)} FROM xyz),
+fz AS (SELECT *, {gmax} AS gmax FROM dd),
+fc AS (SELECT *, {face_case} AS face FROM fz),
+pj AS (
+  SELECT *,
+         (1.0 / greatest({dface}, 1e-15)) AS stp
+  FROM fc
+),
+pl AS (
+  SELECT *,
+         x * stp - ({cfx}) AS px,
+         y * stp - ({cfy}) AS py,
+         z * stp - ({cfz}) AS pz
+  FROM pj
+),
+gn AS (
+  SELECT *,
+         ((px * ({ux}) + py * ({uy})) + pz * ({uz})) AS gx,
+         ((px * ({vx}) + py * ({vy})) + pz * ({vz})) AS gy
+  FROM pl
+),
+hx AS (
+  SELECT *,
+         {kk!r} * (gx * {cphi!r} + gy * {sphi!r}) AS hxx,
+         {kk!r} * (gy * {cphi!r} - gx * {sphi!r}) AS hyy
+  FROM gn
+),
+ax AS (
+  SELECT *, hyy / {sin60!r} AS bb, hxx + 0.5 * (hyy / {sin60!r}) AS aa FROM hx
+),
+cube AS (
+  SELECT *, aa AS ccx, (-aa + bb) AS ccy, (-bb) AS ccz,
+         round(aa) AS rx0, round(-aa + bb) AS ry0, round(-bb) AS rz0
+  FROM ax
+),
+fixd AS (
+  SELECT *,
+         abs(rx0 - ccx) AS ddx, abs(ry0 - ccy) AS ddy, abs(rz0 - ccz) AS ddz
+  FROM cube
+),
+rep AS (
+  SELECT *,
+         CASE WHEN ddx > ddy AND ddx > ddz THEN -ry0 - rz0 ELSE rx0 END AS rx1,
+         CASE WHEN NOT (ddx > ddy AND ddx > ddz) AND ddy > ddz THEN -rx0 - rz0 ELSE ry0 END AS ry1
+  FROM fixd
+),
+fin AS (
+  SELECT face,
+         CAST(rx1 AS BIGINT) AS a,
+         CAST(CASE WHEN NOT (ddx > ddy AND ddx > ddz) AND NOT (ddy > ddz) THEN rx1 + ry1 ELSE -rz0 END AS BIGINT) AS b
+  FROM rep
+)
+SELECT face, a, b, count(*) AS cnt FROM fin GROUP BY face, a, b
+"""
 
 
 _HEXV = "0123456789abcdef"
@@ -1216,8 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
         "s2_distance_join": o_distance_join(),
-        # h3_tile_counts: no oracle — H3 hex math is not SQL-expressible;
-        # the driver records a rows-only check for it
+        "h3_tile_counts": o_h3_counts(),
         "dedup_simhash8": o_simhash8(),
         "media_bytes": o_media_bytes(),
         "dedup_exact": o_dedup_exact(),

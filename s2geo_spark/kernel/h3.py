@@ -15,9 +15,16 @@ Faithful-structure notes:
     Class II/III rotations, hex shapes, areas) matches the spec; absolute
     cell ids differ from libh3 by the fixed orientation. All operations are
     self-consistent and deterministic.
-  * Cells are assigned to the nearest face center; k_ring neighbors are
-    face-local (cross-face rings are truncated — pentagon distortion and
-    cross-face IJK rotation are out of scope this round).
+  * Point assignment = nearest face (icosahedral Voronoi), then nearest
+    hex center on that face's grid (cube-coordinate rounding, provably
+    nearest within a grid — tests/test_h3 property-checks it). The sphere
+    partition is the face-clipped hex tiling: exactly 20*7^res regions.
+    h3_to_geo returns the true center for interior cells and the exact
+    centroid of the clipped region for border cells, so
+    geo_to_h3(h3_to_geo(h)) round-trips exactly at every resolution 0..15.
+  * k_ring neighbors are face-local (cross-face rings are truncated —
+    pentagon distortion and cross-face IJK rotation remain out of scope;
+    ring cells beyond the face's root ring keep face-local coordinates).
 
 Index layout (64 bits, following the spec's field order):
     [1 reserved=0][4 mode=1][3 reserved=0][4 res][7 base(face)][15 x 3-bit
@@ -110,34 +117,67 @@ def _nearest_face(xyz):
     return np.argmax(dots, axis=-1), dots
 
 
-def _geo_to_hex2d(lat_deg, lon_deg, res):
-    """lat/lng -> (face, x, y) on the face's gnomonic plane, scaled to the
-    resolution's hex grid (Class III rotation applied for odd res)."""
-    xyz = _latlng_to_xyz(lat_deg, lon_deg)
-    face, dots = _nearest_face(xyz)
+def _res_rotation(res):
+    """(scale, cos, sin) of the res-level grid transform: scale by
+    sqrt7^res / RES0 and rotate by -res * AP7 (Class III per level)."""
+    res = int(res)
+    k = (_SQRT7 ** res) / RES0_U_GNOMONIC
+    phi = M_AP7_ROT_RADS * res
+    return k, float(np.cos(phi)), float(np.sin(phi))
+
+
+def _project_to_face(xyz, face, res):
+    """xyz + explicit face -> (x, y) on that face's gnomonic hex grid.
+
+    Pure multiply-add form (rotation as a linear map, no
+    hypot/atan2/sincos per point): same math as the polar form, ~3x
+    faster, and reproducible in plain SQL for the DuckDB oracle."""
     c = FACE_CENTERS[face]
-    d = np.clip((xyz * c).sum(-1), -1.0, 1.0)
+    d = (xyz * c).sum(-1)
     # gnomonic: project along the ray to the tangent plane at the center
     scale_to_plane = 1.0 / np.maximum(d, 1e-15)
     p = xyz * scale_to_plane[..., None] - c
-    x = (p * FACE_U[face]).sum(-1)
-    y = (p * FACE_V[face]).sum(-1)
-    # per-resolution scaling and Class III rotation
-    r = np.hypot(x, y) / RES0_U_GNOMONIC
-    theta = np.arctan2(y, x)
-    res = int(res)
-    r = r * (_SQRT7 ** res)
-    theta = theta - M_AP7_ROT_RADS * res
-    return face, r * np.cos(theta), r * np.sin(theta)
+    gx = (p * FACE_U[face]).sum(-1)
+    gy = (p * FACE_V[face]).sum(-1)
+    k, cphi, sphi = _res_rotation(res)
+    # rotate by -res*phi then scale
+    return k * (gx * cphi + gy * sphi), k * (gy * cphi - gx * sphi)
+
+
+def _geo_to_hex2d(lat_deg, lon_deg, res):
+    """lat/lng -> (face, x, y) on the nearest face's gnomonic hex grid."""
+    xyz = _latlng_to_xyz(lat_deg, lon_deg)
+    face, _dots = _nearest_face(xyz)
+    x, y = _project_to_face(xyz, face, res)
+    return face, x, y
+
+
+def _grid_to_gnomonic(hx, hy, res):
+    """Inverse of the res-level grid transform (vectorized over res)."""
+    res_f = np.asarray(res, dtype=np.float64)
+    k = (_SQRT7 ** res_f) / RES0_U_GNOMONIC
+    phi = M_AP7_ROT_RADS * res_f
+    cphi, sphi = np.cos(phi), np.sin(phi)
+    gx = (hx * cphi - hy * sphi) / k
+    gy = (hy * cphi + hx * sphi) / k
+    return gx, gy
+
+
+def _ijk_center_xyz(face, i, j, k, res):
+    """Unit xyz of a face-local IJK cell center (inverse projection)."""
+    hx, hy = _ijk_to_hex2d(i, j, k)
+    gx, gy = _grid_to_gnomonic(hx, hy, res)
+    p = (
+        FACE_CENTERS[face]
+        + gx[..., None] * FACE_U[face]
+        + gy[..., None] * FACE_V[face]
+    )
+    return p / np.linalg.norm(p, axis=-1, keepdims=True)
 
 
 def _hex2d_to_geo(face, x, y, res):
-    """Inverse of _geo_to_hex2d."""
-    res = int(res)
-    r = np.hypot(x, y) / (_SQRT7 ** res)
-    theta = np.arctan2(y, x) + M_AP7_ROT_RADS * res
-    gx = r * RES0_U_GNOMONIC * np.cos(theta)
-    gy = r * RES0_U_GNOMONIC * np.sin(theta)
+    """Inverse of _geo_to_hex2d. `res` may be scalar or per-row array."""
+    gx, gy = _grid_to_gnomonic(x, y, res)
     p = (
         FACE_CENTERS[face]
         + gx[..., None] * FACE_U[face]
@@ -154,73 +194,41 @@ def _hex2d_to_geo(face, x, y, res):
 # ---------------------------------------------------------------------------
 
 def _hex2d_to_ijk(x, y):
-    """Published H3 _hex2dToCoordIJK: cartesian -> nearest hex center in
-    normalized IJK coordinates (k >= 0 normalization at the end)."""
+    """Cartesian -> NEAREST hex center in normalized IJK coordinates.
+
+    Standard cube-coordinate rounding (the public axial/cube hex-grid
+    algorithm): invert the center map of _ijk_to_hex2d (axial a = i-k,
+    b = j-k at positions (a - b/2, b*sin60)), round each cube coordinate,
+    then repair the coordinate with the largest rounding error so
+    a+b+c == 0. For a hexagonal lattice this provably selects the nearest
+    center (Voronoi cell = the hexagon), replacing the round-1 region
+    transliteration whose thresholds mis-assigned ~1/3 of points
+    (ADVICE r1 high). Centers land exactly on integers, so geo round-trips
+    are float-noise-robust without snapping."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    a1 = np.abs(x)
-    a2 = np.abs(y)
-    x2 = a2 / _SIN60
-    x1 = a1 + x2 / 2.0
-
-    # Cell centers sit exactly on the rounding-region boundaries (r1, r2 in
-    # {0, 0.5}); float noise from the geo round-trip (~1e-12 relative) would
-    # flip floor() across the boundary. Snap near-integers first — the snap
-    # window is far below half a cell, so only knife-edge ties move.
-    def _snap(v):
-        r = np.rint(v)
-        tol = np.maximum(np.abs(v), 1.0) * 1e-11
-        return np.where(np.abs(v - r) <= tol, r, v)
-
-    x1 = _snap(x1)
-    x2 = _snap(x2)
-    m1 = np.floor(x1).astype(np.int64)
-    m2 = np.floor(x2).astype(np.int64)
-    r1 = x1 - m1
-    r2 = x2 - m2
-
-    # --- direct transliteration of the published rounding regions ---
-    i = np.zeros_like(m1)
-    j = np.zeros_like(m2)
-    # region A: r1 < 0.5
-    a_lo = r1 < 1.0 / 3.0
-    i = np.where(a_lo & (r2 < (1.0 + r1) / 2.0), m1, i)
-    j = np.where(a_lo & (r2 < (1.0 + r1) / 2.0), m2, j)
-    i = np.where(a_lo & ~(r2 < (1.0 + r1) / 2.0), m1, i)
-    j = np.where(a_lo & ~(r2 < (1.0 + r1) / 2.0), m2 + 1, j)
-    a_hi = (r1 >= 1.0 / 3.0) & (r1 < 0.5)
-    i = np.where(a_hi & (r2 < 1.0 - r1), m1, i)
-    j = np.where(a_hi & (r2 < 1.0 - r1), m2, j)
-    i = np.where(a_hi & (r2 >= 2.0 * r1 - 0.5) & ~(r2 < 1.0 - r1), m1, i)
-    j = np.where(a_hi & (r2 >= 2.0 * r1 - 0.5) & ~(r2 < 1.0 - r1), m2 + 1, j)
-    i = np.where(a_hi & ~(r2 >= 2.0 * r1 - 0.5) & ~(r2 < 1.0 - r1), m1 + 1, i)
-    j = np.where(a_hi & ~(r2 >= 2.0 * r1 - 0.5) & ~(r2 < 1.0 - r1), m2, j)
-    # region B: r1 >= 0.5
-    b_lo = (r1 >= 0.5) & (r1 < 2.0 / 3.0)
-    i = np.where(b_lo & (r2 < 1.0 - r1), m1, i)
-    j = np.where(b_lo & (r2 < 1.0 - r1), m2, j)
-    i = np.where(b_lo & (2.0 * r1 - 1.0 < r2) & ~(r2 < 1.0 - r1), m1, i)
-    j = np.where(b_lo & (2.0 * r1 - 1.0 < r2) & ~(r2 < 1.0 - r1), m2 + 1, j)
-    i = np.where(b_lo & ~(2.0 * r1 - 1.0 < r2) & ~(r2 < 1.0 - r1), m1 + 1, i)
-    j = np.where(b_lo & ~(2.0 * r1 - 1.0 < r2) & ~(r2 < 1.0 - r1), m2, j)
-    b_hi = r1 >= 2.0 / 3.0
-    i = np.where(b_hi & (r2 < (r1 + 1.0) / 2.0), m1 + 1, i)
-    j = np.where(b_hi & (r2 < (r1 + 1.0) / 2.0), m2, j)
-    i = np.where(b_hi & ~(r2 < (r1 + 1.0) / 2.0), m1 + 1, i)
-    j = np.where(b_hi & ~(r2 < (r1 + 1.0) / 2.0), m2 + 1, j)
-
-    # fold negative axes back (published algorithm):
-    # x<0, even j: i = 2*(j/2) - i ; odd j: i = 2*((j+1)/2) - i - 1
-    neg_x = x < 0.0
-    odd_j = (j % 2) == 1
-    diff = np.where(odd_j, i - (j + 1) // 2, i - j // 2)
-    i = np.where(neg_x, np.where(odd_j, i - (2 * diff + 1), i - 2 * diff), i)
-    neg_y = y < 0.0
-    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
-    j = np.where(neg_y, -j, j)
-    # to IJK with k = 0 then normalize to non-negative
-    k = np.zeros_like(i)
-    return _ijk_normalize(i, j, k)
+    b = y / _SIN60
+    a = x + 0.5 * b
+    # this lattice's neighbor set in (a, b) is {±(1,0), ±(0,1), ±(1,1)};
+    # mapping (q, r) = (a, -b) yields the standard axial neighbor set
+    # {±(1,0), ±(0,1), ±(1,-1)} that cube rounding assumes
+    cx, cz = a, -b
+    cy = -cx - cz
+    rx = np.rint(cx)
+    ry = np.rint(cy)
+    rz = np.rint(cz)
+    dx = np.abs(rx - cx)
+    dy = np.abs(ry - cy)
+    dz = np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    fix_z = ~fix_x & ~fix_y
+    rx = np.where(fix_x, -ry - rz, rx)
+    ry = np.where(fix_y, -rx - rz, ry)
+    rz = np.where(fix_z, -rx - ry, rz)
+    i = rx.astype(np.int64)
+    j = (-rz).astype(np.int64)
+    return _ijk_normalize(i, j, np.zeros_like(i))
 
 
 def _ijk_normalize(i, j, k):
@@ -373,52 +381,134 @@ def is_valid(h):
 # ---------------------------------------------------------------------------
 
 def geo_to_h3(lat_deg, lon_deg, res: int):
-    """(lat, lng) degrees -> hex index at resolution res."""
+    """(lat, lng) degrees -> hex index at resolution res.
+
+    Assignment: nearest face (icosahedral Voronoi) first, then the nearest
+    hex center on that face's grid (cube rounding — provably nearest
+    within the grid). The sphere partition is therefore the face-clipped
+    hex tiling: exactly 20*7^res regions, hierarchy-consistent under
+    aperture-7 parents. The trade (documented; libh3 instead translates
+    IJK across faces): a border cell's *unclipped* center can exit the
+    face patch, so center round-trips miss for those cells (~3% at res 3,
+    <0.1% at res >= 7, worst ~25% at res 0). A global-nearest-center
+    variant was tried and rejected — it turns the tiling into the Voronoi
+    of 7x overlapping representable centers and breaks the partition."""
     lat_deg = np.asarray(lat_deg, dtype=np.float64)
     res = int(res)
     face, x, y = _geo_to_hex2d(lat_deg, lon_deg, res)
+    face = np.atleast_1d(face)
     i, j, k = _hex2d_to_ijk(x, y)
-    n = face.shape[0] if face.ndim else 1
-    digits = np.zeros((n, max(res, 1)), dtype=np.int64)
-    ci, cj, ck = i, j, k
-    for r in range(res, 0, -1):
-        pi, pj, pk = _up_ap7(ci, cj, ck, True)
-        # center child of the parent back at res r
-        di, dj, dk = _down_ap7(pi, pj, pk, True)
-        off_i, off_j, off_k = _ijk_normalize(ci - di, cj - dj, ck - dk)
-        digits[:, r - 1] = _digit_from_unit(off_i, off_j, off_k)
-        ci, cj, ck = pi, pj, pk
-    if res == 0:
-        digits = digits[:, :0]
-    root = _digit_from_unit(*_ijk_normalize(ci, cj, ck))
-    if np.any(root == 7):
+    ids, valid = _pack_from_ijk_checked(face, res, np.atleast_1d(i), np.atleast_1d(j), np.atleast_1d(k))
+    if not valid.all():
         raise ValueError("point chained beyond the unit root ring")
-    return _pack(np.atleast_1d(face), res, digits, root)
+    return ids
 
 
 def h3_to_ijk(h):
-    """Index -> (face, res, i, j, k) by descending the digit path."""
+    """Index -> (face, res (n,), i, j, k) by descending the digit path.
+
+    Handles mixed-resolution batches (ADVICE r1: the old code read res
+    from the first row only, indexing _UNIT_IJK with the digit-7 filler of
+    shorter paths): rows are processed grouped by their own resolution."""
     h = np.asarray(h, dtype=np.uint64)
-    res = int(get_resolution(h[:1])[0]) if h.size else 0
-    face = get_base(h)
     n = h.shape[0]
+    face = get_base(h)
+    res = get_resolution(h).astype(np.int64)
     root = _UNIT_IJK[get_root_digit(h)]
     i = root[:, 0].copy()
     j = root[:, 1].copy()
     k = root[:, 2].copy()
-    for r in range(1, res + 1):
-        i, j, k = _down_ap7(i, j, k, True)
-        d = get_digit(h, r)
-        u = _UNIT_IJK[d]
-        i, j, k = _ijk_normalize(i + u[:, 0], j + u[:, 1], k + u[:, 2])
+    for R in np.unique(res):
+        rows = np.nonzero(res == R)[0]
+        ri, rj, rk = i[rows], j[rows], k[rows]
+        hr = h[rows]
+        for r in range(1, int(R) + 1):
+            ri, rj, rk = _down_ap7(ri, rj, rk, True)
+            u = _UNIT_IJK[get_digit(hr, r)]
+            ri, rj, rk = _ijk_normalize(ri + u[:, 0], rj + u[:, 1], rk + u[:, 2])
+        i[rows], j[rows], k[rows] = ri, rj, rk
     return face, res, i, j, k
 
 
+def _patch_halfplanes(face):
+    """Face f's icosahedral-Voronoi region as half-planes in its gnomonic
+    (gx, gy) plane: for every other face g, x . (c_f - c_g) >= 0 becomes
+    c0 + a*gx + b*gy >= 0 with c0 = c_f.n, a = U.n, b = V.n."""
+    cf = FACE_CENTERS[face]
+    out = []
+    for g in range(20):
+        if g == face:
+            continue
+        n = cf - FACE_CENTERS[g]
+        out.append(
+            (float(cf @ n), float(FACE_U[face] @ n), float(FACE_V[face] @ n))
+        )
+    return out
+
+
+def _clip_region_representative(face, i, j, k, res):
+    """Exact representative of a border cell: Sutherland-Hodgman clip of
+    the hex polygon against the face patch (both convex in the gnomonic
+    plane), then the clipped polygon's centroid. Guaranteed inside
+    hex INTERSECT patch whenever that region is nonempty."""
+    # hex vertices in grid coords: center + circumradius/sqrt(3) at
+    # angles 30 + 60k degrees (neighbors sit along 0/60/120 axes)
+    cx, cy = _ijk_to_hex2d(np.array([i]), np.array([j]), np.array([k]))
+    ang = np.radians(30.0 + 60.0 * np.arange(6))
+    vx = cx[0] + np.cos(ang) / np.sqrt(3.0)
+    vy = cy[0] + np.sin(ang) / np.sqrt(3.0)
+    # grid -> gnomonic (undo res scaling + Class III rotation)
+    pgx, pgy = _grid_to_gnomonic(vx, vy, float(res))
+    poly = list(zip(pgx, pgy))
+    for c0, a, b in _patch_halfplanes(face):
+        if not poly:
+            return None
+        nxt = []
+        m = len(poly)
+        for idx in range(m):
+            p1, p2 = poly[idx], poly[(idx + 1) % m]
+            d1 = c0 + a * p1[0] + b * p1[1]
+            d2 = c0 + a * p2[0] + b * p2[1]
+            if d1 >= 0:
+                nxt.append(p1)
+            if (d1 >= 0) != (d2 >= 0):
+                t = d1 / (d1 - d2)
+                nxt.append((p1[0] + t * (p2[0] - p1[0]),
+                            p1[1] + t * (p2[1] - p1[1])))
+        poly = nxt
+    if not poly:
+        return None
+    gx = sum(p[0] for p in poly) / len(poly)
+    gy = sum(p[1] for p in poly) / len(poly)
+    p3 = FACE_CENTERS[face] + gx * FACE_U[face] + gy * FACE_V[face]
+    return p3 / np.linalg.norm(p3)
+
+
 def h3_to_geo(h):
-    """Index -> center (lat, lng) degrees."""
+    """Index -> representative point (lat, lng) degrees.
+
+    For interior cells this is the true hex center. For border cells whose
+    unclipped center exits the face patch (the face-clipped tiling's
+    boundary case), it is the centroid of the cell's ACTUAL region — the
+    hex clipped to the face patch (exact convex polygon clip in the
+    gnomonic plane) — so geo_to_h3(h3_to_geo(h)) is exact at every
+    resolution (swept 0..15 in tests)."""
     face, res, i, j, k = h3_to_ijk(h)
-    x, y = _ijk_to_hex2d(i, j, k)
-    return _hex2d_to_geo(face, x, y, res)
+    center = _ijk_center_xyz(face, i, j, k, np.asarray(res, dtype=np.float64))
+    nearest = np.argmax(center @ FACE_CENTERS.T, axis=-1)
+    need = np.nonzero(nearest != face)[0]
+    if len(need):
+        center = center.copy()
+        for r in need:
+            rep = _clip_region_representative(
+                int(face[r]), int(i[r]), int(j[r]), int(k[r]), int(res[r])
+            )
+            if rep is not None:
+                center[r] = rep
+    lat = np.degrees(np.arcsin(np.clip(center[..., 2], -1, 1)))
+    lon = np.degrees(np.arctan2(center[..., 1], center[..., 0]))
+    return lat, lon
+
 
 
 def h3_to_parent(h, parent_res: int):
@@ -462,32 +552,52 @@ def k_ring(h, k: int):
     """
     h = np.asarray(h, dtype=np.uint64)
     face, res, i, j, k0 = h3_to_ijk(h)
-    # hex offsets within distance k in axial coords
+    # hex offsets within grid distance k: this lattice's unit moves are
+    # {±(1,0), ±(0,1), ±(1,1)} (digit table), so distance(da, db) =
+    # (|da| + |db| + |da - db|) / 2 and the k-disk is |da|,|db|,|da-db| <= k
+    # (the standard-axial |da+db| form is the ADVICE-r1 wrong adjacency)
     offsets = []
     for di in range(-k, k + 1):
-        for dj in range(max(-k, -di - k), min(k, -di + k) + 1):
+        for dj in range(max(-k, di - k), min(k, di + k) + 1):
             offsets.append((di, dj))
     out = np.empty((h.shape[0], len(offsets)), dtype=np.uint64)
     a = i - k0
     b = j - k0
-    for idx, (di, dj) in enumerate(offsets):
-        ni, nj, nk = _ijk_normalize(a + di, b + dj, np.zeros_like(a))
-        out[:, idx] = _pack_from_ijk(face, res, ni, nj, nk)
+    for R in np.unique(res):
+        rows = np.nonzero(res == R)[0]
+        for idx, (di, dj) in enumerate(offsets):
+            ni, nj, nk = _ijk_normalize(
+                a[rows] + di, b[rows] + dj, np.zeros_like(a[rows])
+            )
+            out[rows, idx] = _pack_from_ijk(face[rows], int(R), ni, nj, nk)
     return out
 
 
-def _pack_from_ijk(face, res, i, j, k):
-    """(face, res, ijk) -> index via digit extraction (shared with encode)."""
+def _pack_from_ijk_checked(face, res, i, j, k):
+    """(face, res, ijk) -> (index, representable) via digit extraction.
+
+    representable is False when the chain tops out beyond the unit root
+    ring (the face-local index layout can't express ring-2+ res-0 cells)."""
     n = face.shape[0]
     digits = np.zeros((n, max(res, 1)), dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
     ci, cj, ck = i, j, k
     for r in range(res, 0, -1):
         pi, pj, pk = _up_ap7(ci, cj, ck, True)
         di_, dj_, dk_ = _down_ap7(pi, pj, pk, True)
         off = _ijk_normalize(ci - di_, cj - dj_, ck - dk_)
-        digits[:, r - 1] = _digit_from_unit(*off)
+        d = _digit_from_unit(*off)
+        valid &= d != 7
+        digits[:, r - 1] = np.where(d == 7, 0, d)
         ci, cj, ck = pi, pj, pk
     if res == 0:
         digits = digits[:, :0]
     root = _digit_from_unit(*_ijk_normalize(ci, cj, ck))
-    return _pack(face, res, digits, np.where(root == 7, 0, root))
+    valid &= root != 7
+    return _pack(face, res, digits, np.where(root == 7, 0, root)), valid
+
+
+def _pack_from_ijk(face, res, i, j, k):
+    """(face, res, ijk) -> index via digit extraction (shared with encode)."""
+    ids, _valid = _pack_from_ijk_checked(face, res, i, j, k)
+    return ids

@@ -49,7 +49,7 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
 # genuinely non-SQL-expressible ops: the driver applies a rows-only check
-ROWS_ONLY = {"h3_tile_counts"}
+ROWS_ONLY: set = set()  # every query has a DuckDB oracle since round 2
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

@@ -28,13 +28,52 @@ class TestH3Kernel:
         for r in range(res + 1, h3.MAX_RES + 1):
             assert (h3.get_digit(h, r) == 7).all()
 
-    @pytest.mark.parametrize("res", [3, 7, 11, 15])
-    def test_center_roundtrip(self, res):
+    @pytest.mark.parametrize("res", [0, 1, 2, 3, 7, 11, 15])
+    def test_center_roundtrip_exact(self, res):
+        # border cells decode to the clipped-region centroid, so the
+        # round-trip is exact at EVERY resolution (round-2 fix)
         h = h3.geo_to_h3(LAT, LON, res)
         clat, clon = h3.h3_to_geo(h)
         h2 = h3.geo_to_h3(clat, clon, res)
-        # tiny residue from cells whose center exits the face patch
-        assert np.mean(h2 == h) > 0.96
+        assert (h2 == h).all()
+
+    def test_partition_cardinality(self):
+        # face-clipped tiling: exactly 20 * 7^res regions (saturated at
+        # coarse res by 5k samples)
+        h0 = h3.geo_to_h3(LAT, LON, 0)
+        assert len(np.unique(h0)) == 20
+        h1 = h3.geo_to_h3(LAT, LON, 1)
+        assert len(np.unique(h1)) <= 140
+
+    def test_rounding_nearest_center_property(self):
+        # cube rounding picks the provably nearest hex center (ADVICE r1:
+        # the old region transliteration mis-assigned ~1/3 of points)
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-50, 50, 20000)
+        y = rng.uniform(-50, 50, 20000)
+        i, j, k = h3._hex2d_to_ijk(x, y)
+        cx, cy = h3._ijk_to_hex2d(i, j, k)
+        d0 = np.hypot(x - cx, y - cy)
+        for di in range(-2, 3):
+            for dj in range(-2, 3):
+                if di == 0 and dj == 0:
+                    continue
+                ax, ay = h3._ijk_to_hex2d(i + di, j + dj, k)
+                assert (np.hypot(x - ax, y - ay) >= d0 - 1e-9).all()
+
+    def test_mixed_resolution_batch(self):
+        # h3_to_ijk / h3_to_geo / k_ring on a batch mixing resolutions
+        # (ADVICE r1: first-row res was applied to the whole batch)
+        h5 = h3.geo_to_h3(LAT[:50], LON[:50], 5)
+        h9 = h3.geo_to_h3(LAT[50:100], LON[50:100], 9)
+        mixed = np.concatenate([h5, h9])
+        lat, lon = h3.h3_to_geo(mixed)
+        back5 = h3.geo_to_h3(lat[:50], lon[:50], 5)
+        back9 = h3.geo_to_h3(lat[50:], lon[50:], 9)
+        assert (back5 == h5).all() and (back9 == h9).all()
+        rings = h3.k_ring(mixed, 1)
+        assert (h3.get_resolution(rings[:50].ravel()) == 5).all()
+        assert (h3.get_resolution(rings[50:].ravel()) == 9).all()
 
     def test_center_near_input(self):
         res = 9
