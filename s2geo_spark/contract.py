@@ -274,6 +274,94 @@ xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
 """
 
 
+_BOOL_INDEX_CACHE: dict = {}
+
+
+def _boolean_layer_index(spark):
+    """Polygon layer = the boolean results (intersection/union/difference)
+    of the fixture quad pairs, computed through the DISTRIBUTED
+    boolean_join operator, then shape-indexed for the PIP count join.
+    polygon_id = pair_id * 4 + op_index. Cached per session."""
+    key = id(spark)
+    cached = _BOOL_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from s2geo_spark.operators import booleans
+
+    layer = {}
+    for op_idx, op in enumerate(fx.BOOL_OPS):
+        a_rows = []
+        b_rows = []
+        for pid in fx.BOOL_PAIRS:
+            av, bv = fx.bool_pair_loops(pid)
+            a_rows.append((pid, [av.ravel().tolist()]))
+            b_rows.append((pid, [bv.ravel().tolist()]))
+        schema = "polygon_id long, loops array<array<double>>"
+        a_df = spark.createDataFrame(a_rows, schema)
+        b_df = spark.createDataFrame(b_rows, schema)
+        pairs = spark.createDataFrame(
+            [(pid, pid) for pid in fx.BOOL_PAIRS], "a_id long, b_id long"
+        )
+        res = booleans.boolean_join(a_df, b_df, op, pairs=pairs).collect()
+        for r in res:
+            assert r["n_loops"] == 1, (op, r["a_id"], r["n_loops"])
+            verts = np.asarray(r["loops"][0], dtype=np.float64).reshape(-1, 3)
+            layer[int(r["a_id"]) * 4 + op_idx] = verts
+    polys = spatial.polygons_to_df(spark, layer)
+    idx = spatial.build_index_df(polys).persist()
+    idx.count()
+    _BOOL_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_boolean_counts(spark, sf_dir):
+    """S2BooleanOperation end-to-end (s2boolean_operation.h:16-40): the
+    fixture quad pairs are combined with the distributed boolean_join
+    operator, the EXACT result loops become a polygon layer, and points
+    are counted inside each result via the shape-indexed PIP join. The
+    DuckDB oracle re-derives the same counts from half-space logic
+    (inA AND inB / OR / AND NOT), so a wrong boolean boundary shows up as
+    a count mismatch."""
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    joined = spatial.contains_join_indexed(pts, _boolean_layer_index(spark))
+    return (
+        joined.withColumn("pair_id", (F.col("polygon_id") / 4).cast("long"))
+        .withColumn("op", F.col("polygon_id") % 4)
+        .groupBy("pair_id", "op")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_boolean_counts():
+    parts = []
+    for pid in fx.BOOL_PAIRS:
+        na, nb = fx.bool_pair_edge_normals(pid)
+        in_a = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)" for w in na
+        )
+        in_b = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)" for w in nb
+        )
+        for op_idx, cond in [
+            (0, f"({in_a}) AND ({in_b})"),
+            (1, f"({in_a}) OR ({in_b})"),
+            (2, f"({in_a}) AND NOT ({in_b})"),
+        ]:
+            # HAVING: Spark's groupBy emits no row for an empty group, so
+            # the oracle must also drop zero counts
+            parts.append(
+                f"SELECT CAST({pid} AS BIGINT) AS pair_id, "
+                f"CAST({op_idx} AS BIGINT) AS op, count(*) AS cnt "
+                f"FROM xyz WHERE {cond} HAVING count(*) > 0"
+            )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH pts AS ({geo.points_sql('orders', 'o_orderkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
+{union}
+"""
+
+
 def q_edge_crossings(spark, sf_dir):
     """Edge-crossing join (S2CrossingEdgeQuery + GetIntersection,
     s2crossing_edge_query.cc:389 / s2edge_crossings.cc:360): which
@@ -1298,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_counts": q_pip_counts,
         "s2_pip_large": q_pip_large,
         "s2_edge_crossings": q_edge_crossings,
+        "s2_boolean_counts": q_boolean_counts,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
         "s2_distance_join": q_distance_join,
@@ -1333,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_counts": o_pip_counts(),
         "s2_pip_large": o_pip_large(),
         "s2_edge_crossings": o_edge_crossings(),
+        "s2_boolean_counts": o_boolean_counts(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
         "s2_distance_join": o_distance_join(),

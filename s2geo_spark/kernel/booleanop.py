@@ -1,0 +1,222 @@
+"""Boolean operations on spherical loops: the S2BooleanOperation core
+(src/s2/s2boolean_operation.h:16-40) for loop pairs, built on the exact
+crossing predicates instead of the reference's snap-rounding S2Builder.
+
+Algorithm (Weiler-Atherton on the sphere):
+  1. find all proper crossings between A-edges and B-edges
+     (edges.crossing_signs_pairs — exact cascade) and their intersection
+     points (edges.get_intersection);
+  2. split each loop's boundary at the crossing nodes into "runs"
+     (maximal chains between consecutive crossings along the loop);
+  3. classify each run inside/outside the other loop by testing one
+     interior point of the run with the exact crossing-parity PIP;
+  4. stitch: at a proper crossing the kept boundary switches loops —
+     INTERSECTION keeps A-runs inside B and B-runs inside A;
+     UNION keeps the outside runs of both;
+     DIFFERENCE (A minus B) keeps A-runs outside B plus B-runs inside A
+     with reversed orientation.
+
+Scope / precision: general-position inputs (no shared vertices, no edge
+overlaps — degeneracies raise ValueError rather than guessing; the
+reference resolves them via snap rounding, out of scope here).
+Intersection points carry the float cross-product accuracy of
+GetIntersection. When the loops do not cross, containment classification
+is exact. Multi-loop polygons compose by XOR semantics at the caller
+(operators layer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import edges as ek
+from . import loops as lps
+
+
+def _crossings(a: np.ndarray, b: np.ndarray):
+    """All proper crossings between edges of loops a, b.
+
+    Returns list of (ia, ib, point, ta, tb): edge indices, intersection
+    unit vector, and sort parameters along each edge (angle from the edge
+    start). Raises on degenerate (sign == 0) pairs."""
+    na, nb = a.shape[0], b.shape[0]
+    a1 = np.repeat(a, nb, axis=0)
+    a2 = np.repeat(np.roll(a, -1, axis=0), nb, axis=0)
+    b1 = np.tile(b, (na, 1))
+    b2 = np.tile(np.roll(b, -1, axis=0), (na, 1))
+    sign = ek.crossing_signs_pairs(a1, a2, b1, b2)
+    if (sign == 0).any():
+        raise ValueError(
+            "degenerate loop pair (shared vertex / touching edge): "
+            "boolean ops require general position"
+        )
+    hits = np.nonzero(sign == 1)[0]
+    out = []
+    if len(hits):
+        pts = ek.get_intersection(a1[hits], a2[hits], b1[hits], b2[hits])
+        for row, x in zip(hits, pts):
+            ia, ib = divmod(int(row), nb)
+            ta = float(np.arctan2(
+                np.linalg.norm(np.cross(a[ia], x)), float(a[ia] @ x)
+            ))
+            sb = b[ib]
+            tb = float(np.arctan2(
+                np.linalg.norm(np.cross(sb, x)), float(sb @ x)
+            ))
+            out.append((ia, ib, x, ta, tb))
+    return out
+
+
+def _runs(verts: np.ndarray, crossings, edge_key, t_key):
+    """Split a loop at its crossing nodes into runs.
+
+    Returns list of (start_node, end_node, points) where points is the
+    (m, 3) chain INCLUDING both crossing endpoints; node ids are the
+    (ia, ib) crossing identities shared by both loops."""
+    n = verts.shape[0]
+    per_edge = {i: [] for i in range(n)}
+    for c in crossings:
+        per_edge[c[edge_key]].append(c)
+    # walk the loop, emitting nodes in order
+    seq = []  # (kind, payload): ("v", vertex_idx) | ("x", crossing)
+    for i in range(n):
+        seq.append(("v", i))
+        for c in sorted(per_edge[i], key=lambda c: c[t_key]):
+            seq.append(("x", c))
+    # rotate so the sequence starts at a crossing
+    first_x = next(idx for idx, s in enumerate(seq) if s[0] == "x")
+    seq = seq[first_x:] + seq[:first_x]
+    runs = []
+    cur_start = (seq[0][1][0], seq[0][1][1])
+    cur_pts = [seq[0][1][2]]
+    for kind, payload in seq[1:]:
+        if kind == "v":
+            cur_pts.append(verts[payload])
+        else:
+            node = (payload[0], payload[1])
+            cur_pts.append(payload[2])
+            runs.append((cur_start, node, np.array(cur_pts)))
+            cur_start = node
+            cur_pts = [payload[2]]
+    # close the final run back to the first crossing
+    first_node = (seq[0][1][0], seq[0][1][1])
+    cur_pts.append(seq[0][1][2])
+    runs.append((cur_start, first_node, np.array(cur_pts)))
+    return runs
+
+
+def _run_probe(points: np.ndarray) -> np.ndarray:
+    """An interior point of the run (midpoint of its first segment)."""
+    p = points[0] + points[1]
+    return p / np.linalg.norm(p)
+
+
+def _stitch(kept_a, kept_b):
+    """Assemble closed loops from kept runs: each run is (start, end,
+    points); at every node exactly one kept run departs."""
+    by_start = {}
+    for run in kept_a + kept_b:
+        if run[0] in by_start:
+            raise ValueError("non-manifold stitch: two kept runs share a start")
+        by_start[run[0]] = run
+    loops_out = []
+    unused = dict(by_start)
+    while unused:
+        start, run = next(iter(unused.items()))
+        pts = []
+        node = start
+        while True:
+            run = unused.pop(node)
+            pts.append(run[2][:-1])  # drop the duplicate end node
+            node = run[1]
+            if node == start:
+                break
+            if node not in unused:
+                raise ValueError("open chain: crossing graph is inconsistent")
+        loops_out.append(np.concatenate(pts, axis=0))
+    return loops_out
+
+
+def loop_boolean(a: np.ndarray, b: np.ndarray, op: str) -> list[np.ndarray]:
+    """Boolean combination of two CCW loops -> list of CCW result loops.
+
+    op: "intersection" | "union" | "difference" (A minus B).
+    Empty list = empty region; for unions of disjoint loops both inputs
+    are returned. Full-sphere results cannot arise from two CCW loops of
+    area < 2*pi each."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(op)
+    lp_a = lps.PreparedLoop(a)
+    lp_b = lps.PreparedLoop(b)
+    crossings = _crossings(a, b)
+    if not crossings:
+        a_in_b = bool(lp_b.contains_points(a[:1])[0])
+        b_in_a = bool(lp_a.contains_points(b[:1])[0])
+        if op == "intersection":
+            if a_in_b:
+                return [a]
+            if b_in_a:
+                return [b]
+            return []
+        if op == "union":
+            if a_in_b:
+                return [b]
+            if b_in_a:
+                return [a]
+            return [a, b]
+        # difference
+        if a_in_b:
+            return []
+        if b_in_a:
+            return [a, b]  # A with a B-shaped hole: XOR semantics, both CCW
+        return [a]
+
+    runs_a = _runs(a, crossings, edge_key=0, t_key=3)
+    runs_b = _runs(b, crossings, edge_key=1, t_key=4)
+    a_inside = [bool(lp_b.contains_points(_run_probe(r[2])[None, :])[0]) for r in runs_a]
+    b_inside = [bool(lp_a.contains_points(_run_probe(r[2])[None, :])[0]) for r in runs_b]
+
+    def rev(run):
+        return (run[1], run[0], run[2][::-1])
+
+    if op == "intersection":
+        kept_a = [r for r, ins in zip(runs_a, a_inside) if ins]
+        kept_b = [r for r, ins in zip(runs_b, b_inside) if ins]
+    elif op == "union":
+        kept_a = [r for r, ins in zip(runs_a, a_inside) if not ins]
+        kept_b = [r for r, ins in zip(runs_b, b_inside) if not ins]
+    else:  # difference: A outside B, plus B inside A reversed
+        kept_a = [r for r, ins in zip(runs_a, a_inside) if not ins]
+        kept_b = [rev(r) for r, ins in zip(runs_b, b_inside) if ins]
+    return _stitch(kept_a, kept_b)
+
+
+def region_contains_points(loops_list, points: np.ndarray) -> np.ndarray:
+    """Containment in a boolean result: XOR over the returned loops
+    (S2Polygon nesting semantics — a CCW loop at odd depth is a hole)."""
+    inside = np.zeros(np.asarray(points).shape[0], dtype=bool)
+    for l in loops_list:
+        inside ^= lps.PreparedLoop(l).contains_points(points)
+    return inside
+
+
+def region_area(loops_list) -> float:
+    """Area of a boolean result under XOR nesting: loops at even depth
+    add, odd depth (holes) subtract. Depth = number of other loops
+    containing the loop's first vertex."""
+    from . import measures as m
+
+    if not loops_list:
+        return 0.0
+    preps = [lps.PreparedLoop(l) for l in loops_list]
+    total = 0.0
+    for idx, l in enumerate(loops_list):
+        depth = sum(
+            1
+            for other_idx, p in enumerate(preps)
+            if other_idx != idx and bool(p.contains_points(l[:1])[0])
+        )
+        total += m.loop_area(l) * (1.0 if depth % 2 == 0 else -1.0)
+    return total

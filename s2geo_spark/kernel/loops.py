@@ -191,8 +191,54 @@ class PreparedLoop:
         return regions.LatLngRect(lat_lo - 1e-9, min(lat_hi + 1e-9, 90.0), lo, hi)
 
     # -- point containment --------------------------------------------------
-    def contains_points(self, points: np.ndarray) -> np.ndarray:
-        """Vectorized crossing-parity containment for (n, 3) unit points."""
+    def points_on_boundary(self, points: np.ndarray) -> np.ndarray:
+        """(n,) bool: point lies exactly ON some loop edge (closed arcs).
+
+        Triage on |det(c, d, p)| (vectorized), exact un-perturbed Sign for
+        the near-zero candidates, then a closed-arc span test
+        (dot(c,p) >= dot(c,d) and dot(d,p) >= dot(c,d), valid for arcs
+        < pi). The basis of the OPEN/CLOSED vertex models
+        (s2contains_point_query.h:30-110)."""
+        points = np.asarray(points, dtype=np.float64)
+        n = points.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        cxd = np.cross(self.edge_c, self.edge_d)  # (m, 3)
+        dets = points @ cxd.T  # (n, m)
+        cd = (self.edge_c * self.edge_d).sum(1)  # (m,)
+        near = np.abs(dets) <= _BATCH_DET_ERROR
+        out = np.zeros(n, dtype=bool)
+        for r, e in zip(*np.nonzero(near)):
+            p = points[r]
+            c, d = self.edge_c[e], self.edge_d[e]
+            if (p == c).all() or (p == d).all():
+                out[r] = True
+                continue
+            if pred.exact_sign(tuple(c), tuple(d), tuple(p), perturb=False) != 0:
+                continue
+            if float(c @ p) >= cd[e] and float(d @ p) >= cd[e]:
+                out[r] = True
+        return out
+
+    def contains_points(
+        self, points: np.ndarray, model: str = "SEMI_OPEN"
+    ) -> np.ndarray:
+        """Vectorized crossing-parity containment for (n, 3) unit points.
+
+        model selects the vertex model (s2contains_point_query.h:30-110):
+        SEMI_OPEN (reference default — crossing parity from an exterior
+        origin), OPEN (boundary points excluded), CLOSED (included).
+        Off-boundary points agree across all three models."""
+        if model not in ("SEMI_OPEN", "OPEN", "CLOSED"):
+            raise ValueError(model)
+        inside = self._contains_points_semi_open(points)
+        if model != "SEMI_OPEN":
+            boundary = self.points_on_boundary(points)
+            inside = np.where(boundary, model == "CLOSED", inside)
+        return inside
+
+    def _contains_points_semi_open(self, points: np.ndarray) -> np.ndarray:
+        """Crossing-parity containment (the SEMI_OPEN model)."""
         points = np.asarray(points, dtype=np.float64)
         n = points.shape[0]
         m = self.vertices.shape[0]
@@ -314,11 +360,20 @@ class PreparedPolygon:
             lp if isinstance(lp, PreparedLoop) else PreparedLoop(lp) for lp in loops
         ]
 
-    def contains_points(self, points: np.ndarray) -> np.ndarray:
+    def contains_points(
+        self, points: np.ndarray, model: str = "SEMI_OPEN"
+    ) -> np.ndarray:
         points = np.asarray(points, dtype=np.float64)
         inside = np.zeros(points.shape[0], dtype=bool)
         for lp in self.loops:
-            inside ^= lp.contains_points(points)
+            inside ^= lp._contains_points_semi_open(points)
+        if model != "SEMI_OPEN":
+            if model not in ("OPEN", "CLOSED"):
+                raise ValueError(model)
+            boundary = np.zeros(points.shape[0], dtype=bool)
+            for lp in self.loops:
+                boundary |= lp.points_on_boundary(points)
+            inside = np.where(boundary, model == "CLOSED", inside)
         return inside
 
     def may_intersect_cells(self, cell_ids) -> np.ndarray:

@@ -84,3 +84,27 @@ RECTS = [
 KNN_K = 3
 QUAD_LEVEL = 8      # quad-key rollup level (face, i>>22, j>>22)
 TILE_LEVEL = 10
+
+
+# --- overlapping convex quad pairs for the boolean-operation query ---------
+BOOL_PAIRS = {
+    0: ("10:-40, 10:-10, 35:-10, 35:-40", "20:-25, 20:5, 45:5, 45:-25"),
+    1: ("-30:100, -30:130, -5:130, -5:100", "-20:115, -20:145, 5:145, 5:115"),
+}
+
+BOOL_OPS = ["intersection", "union", "difference"]
+
+
+def bool_pair_loops(pair_id: int):
+    a_txt, b_txt = BOOL_PAIRS[pair_id]
+    return loops.parse_loop_text(a_txt), loops.parse_loop_text(b_txt)
+
+
+def bool_pair_edge_normals(pair_id: int):
+    """Inward normals of both CCW quads (for the half-space SQL oracle)."""
+    out = []
+    for vs in bool_pair_loops(pair_id):
+        d = np.roll(vs, -1, axis=0)
+        w = np.cross(vs, d)
+        out.append([tuple(float(c) for c in row) for row in w])
+    return out

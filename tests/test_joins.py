@@ -298,3 +298,109 @@ class TestKnnSkewed:
             want = order[:k]
             sub = got[got["query_id"] == qi]
             assert sub["point_id"].tolist() == want.tolist(), qi
+
+
+class TestVertexModels:
+    """S2ContainsPointQuery vertex-model matrix
+    (s2contains_point_query.h:30-110): OPEN excludes boundary, CLOSED
+    includes it, SEMI_OPEN counts each boundary point exactly once across
+    loops sharing an edge; off-boundary points agree in all models."""
+
+    def test_matrix(self):
+        verts = loops.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        lp = loops.PreparedLoop(verts)
+        x, y, _ = sc.latlng_degrees_to_xyz(np.array([0.0]), np.array([5.0]))
+        mid = np.array([[x[0], y[0], 0.0]])  # exactly on the equator edge
+        interior = np.stack(
+            sc.latlng_degrees_to_xyz(np.array([5.0]), np.array([5.0])), 1
+        )
+        exterior = np.stack(
+            sc.latlng_degrees_to_xyz(np.array([-5.0]), np.array([5.0])), 1
+        )
+        pts = np.concatenate([verts, mid, interior, exterior])
+        onb = lp.points_on_boundary(pts)
+        assert onb[:5].all() and not onb[5:].any()
+        open_m = lp.contains_points(pts, "OPEN")
+        closed_m = lp.contains_points(pts, "CLOSED")
+        semi = lp.contains_points(pts, "SEMI_OPEN")
+        assert not open_m[:5].any()
+        assert closed_m[:5].all()
+        assert open_m[5] and closed_m[5] and semi[5]
+        assert not open_m[6] and not closed_m[6] and not semi[6]
+
+    def test_semi_open_exactly_one(self):
+        a = loops.PreparedLoop(loops.parse_loop_text("0:0, 0:10, 10:10, 10:0"))
+        b = loops.PreparedLoop(loops.parse_loop_text("-10:0, -10:10, 0:10, 0:0"))
+        x, y, _ = sc.latlng_degrees_to_xyz(np.array([0.0]), np.array([5.0]))
+        mid = np.array([[x[0], y[0], 0.0]])
+        ina = bool(a.contains_points(mid, "SEMI_OPEN")[0])
+        inb = bool(b.contains_points(mid, "SEMI_OPEN")[0])
+        assert ina != inb
+        # CLOSED: both claim it; OPEN: neither
+        assert a.contains_points(mid, "CLOSED")[0] and b.contains_points(mid, "CLOSED")[0]
+        assert not a.contains_points(mid, "OPEN")[0] and not b.contains_points(mid, "OPEN")[0]
+
+    def test_polygon_model(self):
+        shell = loops.parse_loop_text("0:0, 0:20, 20:20, 20:0")
+        hole = loops.parse_loop_text("5:5, 5:15, 15:15, 15:5")
+        poly = loops.PreparedPolygon([shell, hole])
+        probe = np.stack(
+            sc.latlng_degrees_to_xyz(
+                np.array([10.0, 2.0, -2.0]), np.array([10.0, 10.0, 10.0])
+            ),
+            1,
+        )
+        for model in ("SEMI_OPEN", "OPEN", "CLOSED"):
+            got = poly.contains_points(probe, model)
+            assert got.tolist() == [False, True, False]
+
+
+class TestBooleanOps:
+    """Kernel boolean ops: inclusion-exclusion exactness + point-sampled
+    consistency (s2boolean_operation.h semantics)."""
+
+    def test_inclusion_exclusion_and_pip(self):
+        from s2geo_spark.kernel import booleanop as bo
+        from s2geo_spark.kernel import measures as m
+
+        A = loops.make_regular_loop(0.0, 0.0, 20.0, 128)
+        B = loops.make_regular_loop(0.0, 15.0, 20.0, 128)
+        ai = bo.region_area(bo.loop_boolean(A, B, "intersection"))
+        au = bo.region_area(bo.loop_boolean(A, B, "union"))
+        ad = bo.region_area(bo.loop_boolean(A, B, "difference"))
+        assert abs(au + ai - m.loop_area(A) - m.loop_area(B)) < 1e-9
+        assert abs(ad - (m.loop_area(A) - ai)) < 1e-9
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=(5000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        inA = loops.PreparedLoop(A).contains_points(v)
+        inB = loops.PreparedLoop(B).contains_points(v)
+        for op, want in [
+            ("intersection", inA & inB),
+            ("union", inA | inB),
+            ("difference", inA & ~inB),
+        ]:
+            got = bo.region_contains_points(bo.loop_boolean(A, B, op), v)
+            assert (got == want).all(), op
+
+    def test_no_crossing_cases(self):
+        from s2geo_spark.kernel import booleanop as bo
+        from s2geo_spark.kernel import measures as m
+
+        A = loops.make_regular_loop(0.0, 0.0, 20.0, 64)
+        far = loops.make_regular_loop(60.0, 120.0, 5.0, 64)
+        inner = loops.make_regular_loop(0.0, 0.0, 5.0, 64)
+        assert bo.loop_boolean(A, far, "intersection") == []
+        assert len(bo.loop_boolean(A, far, "union")) == 2
+        hole = bo.loop_boolean(A, inner, "difference")
+        assert abs(
+            bo.region_area(hole) - (m.loop_area(A) - m.loop_area(inner))
+        ) < 1e-12
+
+    def test_degenerate_raises(self):
+        from s2geo_spark.kernel import booleanop as bo
+
+        A = loops.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        B = loops.parse_loop_text("0:10, 0:20, 10:20, 10:10")  # shares an edge
+        with pytest.raises(ValueError):
+            bo.loop_boolean(A, B, "intersection")
