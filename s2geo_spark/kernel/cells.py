@@ -115,3 +115,83 @@ def contains_points(cell_id, px, py, pz):
         & (v <= v_hi + eps)
     )
     return inside
+
+
+def distance2_to_points(cell_id, px, py, pz):
+    """Paired min squared-chord distance from point[n] to cell[n]
+    (S2Cell::GetDistance, s2cell.cc:369-430): 0 when inside, else the min
+    edge distance over the 4 boundary edges (vertex cases fall out of the
+    edge-distance endpoint terms)."""
+    from . import edges as ek
+
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    pts = np.stack([np.asarray(px, float), np.asarray(py, float), np.asarray(pz, float)], axis=1)
+    inside = contains_points(cell_id, pts[:, 0], pts[:, 1], pts[:, 2])
+    verts = vertices(cell_id)  # (n, 4, 3)
+    best = np.full(len(pts), np.inf)
+    for k in range(4):
+        a = verts[:, k, :]
+        b = verts[:, (k + 1) & 3, :]
+        # paired variant of edges.point_edge_chord2
+        nvec = np.cross(a, b)
+        nn = np.linalg.norm(nvec, axis=-1, keepdims=True)
+        nu = nvec / np.maximum(nn, 1e-300)
+        xn = (pts * nu).sum(1)
+        ax_n = (nu * np.cross(a, pts)).sum(1)
+        xb_n = (nu * np.cross(pts, b)).sum(1)
+        interior = (ax_n > 0) & (xb_n > 0)
+        sin2 = np.clip(xn * xn, 0.0, 1.0)
+        perp = 2.0 - 2.0 * np.sqrt(np.maximum(0.0, 1.0 - sin2))
+        endpoint = np.minimum(
+            ((pts - a) ** 2).sum(1), ((pts - b) ** 2).sum(1)
+        )
+        d = np.where(interior, np.minimum(perp, endpoint), endpoint)
+        best = np.minimum(best, d)
+    return np.where(inside, 0.0, best)
+
+
+def distance2_cell_to_cell(a_ids, b_ids):
+    """Paired min squared-chord distance between cells (S2Cell::GetDistance
+    (S2Cell), s2cell.cc:432-545): 0 when they intersect, else the min over
+    the 16 vertex-to-edge combinations both ways."""
+    a_ids = np.asarray(a_ids, dtype=np.uint64)
+    b_ids = np.asarray(b_ids, dtype=np.uint64)
+    inter = (
+        (v1.range_min(a_ids) <= v1.range_max(b_ids))
+        & (v1.range_max(a_ids) >= v1.range_min(b_ids))
+    )
+    va = vertices(a_ids)
+    vb = vertices(b_ids)
+    best = np.full(a_ids.shape[0], np.inf)
+    for k in range(4):
+        pa = va[:, k, :]
+        best = np.minimum(
+            best, distance2_to_points(b_ids, pa[:, 0], pa[:, 1], pa[:, 2])
+        )
+        pb = vb[:, k, :]
+        best = np.minimum(
+            best, distance2_to_points(a_ids, pb[:, 0], pb[:, 1], pb[:, 2])
+        )
+    return np.where(inter, 0.0, best)
+
+
+def expanded_by_distance_uv(cell_id, distance_rad: float):
+    """Conservative uv-rect expansion by a spherical distance
+    (ExpandedByDistanceUV, s2cell_id_v1.cc:437-469 semantic anchor; this
+    is a provably conservative variant rather than the reference's tight
+    formula): any point within `distance_rad` of the cell lies inside the
+    returned (u_lo, u_hi, v_lo, v_hi) on the same face.
+
+    Bound: a gnomonic step of angular size d at plane radius r moves at
+    most tan(theta + d) - tan(theta) in the plane; with m = max(|u|,|v|
+    corner radius) the padding sin(d) * (1 + m^2) is an upper bound for
+    d < pi/2 - theta. Returns padded bounds (may exceed [-1, 1]; callers
+    clip — points beyond the face edge are handled by neighbor faces)."""
+    f, u_lo, u_hi, v_lo, v_hi = bound_uv(np.asarray(cell_id, dtype=np.uint64))
+    m2 = np.maximum(
+        np.maximum(u_lo * u_lo, u_hi * u_hi),
+        np.maximum(v_lo * v_lo, v_hi * v_hi),
+    )
+    # plane radius^2 of the farthest corner = mu^2 + mv^2 <= 2*max^2
+    pad = np.sin(distance_rad) * (1.0 + 2.0 * m2)
+    return f, u_lo - pad, u_hi + pad, v_lo - pad, v_hi + pad

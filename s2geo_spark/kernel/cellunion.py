@@ -164,3 +164,62 @@ def expand_by_level(ids: np.ndarray, expand_level: int) -> np.ndarray:
         rings = v1.append_all_neighbors(group, expand_level)
         parts.append(rings.ravel())
     return normalize(np.concatenate(parts))
+
+
+def expand_by_radius(ids: np.ndarray, radius_rad: float,
+                     max_level_diff: int = 8) -> np.ndarray:
+    """Expand a union by a spherical distance (S2CellUnion::Expand(S1Angle,
+    max_level_diff), s2cell_union.cc:468-480): pick the expansion level as
+    min(finest-that-still-covers-radius, min_level + max_level_diff), then
+    ring-expand at that level. Using a too-coarse level never under-covers
+    (the ring at a coarser level covers strictly more)."""
+    from . import metrics
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    min_level = int(v1.level(ids).min())
+    radius_level = int(
+        metrics.level_for_min_value(metrics.MIN_WIDTH_DERIV,
+                                    np.array([radius_rad]))[0]
+    )
+    level = min(min_level + max_level_diff, radius_level)
+    return expand_by_level(ids, level)
+
+
+def leaf_cells_covered(ids: np.ndarray) -> int:
+    """Total number of leaf cells covered (S2CellUnion::LeafCellsCovered,
+    s2cell_union.cc:482-489). Max 6*4^30 fits in uint64."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.size == 0:
+        return 0
+    lv = v1.level(ids).astype(np.uint64)
+    return int(
+        (np.uint64(1) << (np.uint64(2) * (np.uint64(30) - lv))).sum(dtype=np.uint64)
+    )
+
+
+def average_based_area(ids: np.ndarray) -> float:
+    """Area assuming every cell has the average area for its level
+    (S2CellUnion::AverageBasedArea, s2cell_union.cc:491-496): exact
+    AVG_AREA metric times leaf count."""
+    from . import metrics
+
+    return metrics.metric_value(
+        metrics.AVG_AREA_DERIV, 30, dim=2
+    ) * leaf_cells_covered(ids)
+
+
+def exact_area(ids: np.ndarray) -> float:
+    """Sum of the cells' exact (Girard) areas from their 4 float vertices
+    (S2CellUnion::ExactArea / S2Cell::ExactArea, s2cell_union.cc:503-509)."""
+    from . import cells as cl
+    from . import measures as m
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.size == 0:
+        return 0.0
+    verts = cl.vertices(ids)  # (n, 4, 3)
+    t1 = m.triangle_area(verts[:, 0], verts[:, 1], verts[:, 2])
+    t2 = m.triangle_area(verts[:, 0], verts[:, 2], verts[:, 3])
+    return float((t1 + t2).sum())

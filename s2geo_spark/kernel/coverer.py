@@ -162,3 +162,117 @@ def get_covering(
     if min_level > 0 or level_mod > 1:
         out = cellunion.denormalize(out, min_level, level_mod)
     return out
+
+
+def is_canonical(
+    ids: np.ndarray,
+    max_cells: int = MAX_CELLS_DEFAULT,
+    min_level: int = 0,
+    max_level: int = v1.MAX_LEVEL,
+    level_mod: int = 1,
+) -> bool:
+    """S2RegionCoverer::IsCanonicalCovering (s2region_coverer.cc:339-360):
+    sorted, non-overlapping, level constraints satisfied, <= max_cells."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.size > max_cells:
+        return False
+    if ids.size == 0:
+        return True
+    lv = v1.level(ids)
+    if (lv < min_level).any() or (lv > max_level).any():
+        return False
+    if level_mod > 1 and (((lv - min_level) % level_mod) != 0).any():
+        return False
+    sk = cellunion.sort_unsigned(ids)
+    if not (sk == ids).all():
+        return False
+    rmax = v1.range_max(ids[:-1])
+    rmin = v1.range_min(ids[1:])
+    return bool((rmax < rmin).all())
+
+
+def canonicalize_covering(
+    ids: np.ndarray,
+    max_cells: int = MAX_CELLS_DEFAULT,
+    min_level: int = 0,
+    max_level: int = v1.MAX_LEVEL,
+    level_mod: int = 1,
+) -> np.ndarray:
+    """Repair an arbitrary cell set into a canonical covering of a
+    SUPERSET region (S2RegionCoverer::CanonicalizeCovering,
+    s2region_coverer.cc:362-516): snap levels into [min_level ..
+    max_level] / level_mod (by taking ancestors — never under-covers),
+    normalize, then while over max_cells merge the adjacent pair whose
+    common ancestor is DEEPEST (adds the least area), re-snapping after
+    each merge."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+
+    def snap(arr):
+        lv = v1.level(arr)
+        target = np.minimum(lv, max_level)
+        if level_mod > 1:
+            target = min_level + ((target - min_level) // level_mod) * level_mod
+        target = np.maximum(target, min_level)
+        # cells coarser than min_level cannot be subdivided without
+        # breaking the superset guarantee cheaply — denormalize them
+        out = []
+        for cid, l, t in zip(arr, lv, target):
+            if l <= t:
+                if l < min_level:
+                    out.extend(
+                        cellunion.denormalize(
+                            np.array([cid], dtype=np.uint64), min_level, max(level_mod, 1)
+                        )
+                    )
+                else:
+                    out.append(cid)
+            else:
+                out.append(v1.parent(np.array([cid], dtype=np.uint64), int(t))[0])
+        return np.array(out, dtype=np.uint64)
+
+    cur = cellunion.normalize(snap(ids))
+    while cur.size > max_cells:
+        # merge the adjacent pair with the deepest common ancestor
+        lv_anc = [
+            int(v1.common_ancestor_level(cur[i : i + 1], cur[i + 1 : i + 2])[0])
+            for i in range(cur.size - 1)
+        ]
+        best = int(np.argmax(lv_anc))
+        anc_level = lv_anc[best]
+        if level_mod > 1:
+            anc_level = min_level + ((anc_level - min_level) // level_mod) * level_mod
+        anc_level = max(min(anc_level, max_level), min_level)
+        anc = v1.parent(cur[best : best + 1], anc_level)
+        cur = cellunion.normalize(
+            np.concatenate([cur[:best], anc, cur[best + 2 :]])
+        )
+        cur = cellunion.normalize(snap(cur))
+    return cur
+
+
+def simple_covering(region, start_lat: float, start_lon: float, level: int) -> np.ndarray:
+    """Fixed-level BFS flood-fill covering (S2::GetSimpleCovering /
+    FloodFill, s2region_coverer.cc:518-556): start from the cell containing
+    the seed point, breadth-first over same-level neighbors, keep cells
+    that may intersect the region."""
+    import collections
+
+    seed = v1.parent(
+        v1.from_latlng(np.array([start_lat]), np.array([start_lon])), level
+    )[0]
+    seen = {int(seed)}
+    queue = collections.deque([seed])
+    out = []
+    while queue:
+        cid = queue.popleft()
+        arr = np.array([cid], dtype=np.uint64)
+        if not bool(region.may_intersect_cells(arr)[0]):
+            continue
+        out.append(cid)
+        for nb in v1.append_all_neighbors(arr, level)[0]:
+            if int(nb) not in seen:
+                seen.add(int(nb))
+                queue.append(np.uint64(nb))
+    return cellunion.sort_unsigned(np.array(out, dtype=np.uint64))

@@ -204,3 +204,149 @@ def knn_join(
     for res in results[1:]:
         out = out.unionByName(res)
     return out
+
+
+def furthest_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    **kwargs,
+) -> DataFrame:
+    """k FURTHEST points per query (S2FurthestPointQuery /
+    s2furthest_edge_query.cc:122 semantics for point targets).
+
+    Relational antipode reduction: |q - p|^2 + |-q - p|^2 = 4 for unit
+    vectors, so the k furthest from q are exactly the k nearest to -q and
+    dist2_far = 4 - dist2_near — the whole density-tiered kNN machinery
+    is reused verbatim. Ties break by point_id ascending, matching the
+    reference's (distance, id) ordering on the max-heap side."""
+    anti = queries.withColumn("lat", -F.col("lat")).withColumn(
+        "lon",
+        F.when(F.col("lon") > 0, F.col("lon") - 180.0).otherwise(
+            F.col("lon") + 180.0
+        ),
+    )
+    near = knn_join(
+        anti, points, k, query_id=query_id, point_id=point_id, **kwargs
+    )
+    return near.select(
+        query_id,
+        point_id,
+        "rank",
+        (F.lit(4.0) - F.col("dist2")).alias("dist2"),
+    )
+
+
+def closest_cell_join(
+    queries: DataFrame,
+    cells: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    cell_label: str = "label",
+) -> DataFrame:
+    """k closest CELLS per query point (S2ClosestCellQuery,
+    s2closest_cell_query.cc:117): cells is (label, cell) — an S2CellIndex
+    relation, mixed levels allowed.
+
+    Plan: per-cell catchment = the cell's own ring at its own level
+    (equi-join key: query ancestor at that level); unresolved queries
+    iterate with coarser rings exactly like knn_join; the residual
+    distance is the EXACT point-to-cell chord distance
+    (cells.distance2_to_points, s2cell.cc:369-430), not the center
+    approximation. Terminal round joins every cell (face-level ring)."""
+    q = xyz_cols(queries, "lat", "lon").withColumn(
+        "qcell", sf.s2_cell_id("lat", "lon")
+    ).select(
+        query_id, "qcell",
+        F.col("px").alias("qx"), F.col("py").alias("qy"), F.col("pz").alias("qz"),
+    )
+    c = cells.select(cell_label, F.col("cell").alias("tcell")).withColumn(
+        "tlvl", sf.s2_level_expr("tcell")
+    )
+    c = c.cache()
+    levels = sorted(
+        int(r["tlvl"]) for r in c.select("tlvl").distinct().collect()
+    )
+
+    @F.pandas_udf("double")
+    def cell_dist2(tcell: pd.Series, qx: pd.Series, qy: pd.Series, qz: pd.Series) -> pd.Series:
+        from s2geo_spark.kernel import cells as _cl
+
+        ids = tcell.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(
+            _cl.distance2_to_points(
+                ids, qx.to_numpy(), qy.to_numpy(), qz.to_numpy()
+            )
+        )
+
+    results = []
+    remaining = q.withColumn("ring_lvl", F.lit(max(levels)).cast("int"))
+    n_rounds = -(-max(levels) // 2) + 1
+    for r in range(n_rounds):
+        lvl_round = max(max(levels) - 2 * r, 0)
+        # two-sided term duality (cells intersect iff one contains the
+        # other): ring side emits rc + rc's ancestors at coarser TARGET
+        # levels; target side emits tcell + its ancestors at the ring
+        # level. Spurious equal-ancestor matches are harmless — the exact
+        # distance residual filters them.
+        coarser_t = [tl for tl in levels if tl < lvl_round]
+        rc_col = F.col("rc")
+        qterms = F.array_distinct(
+            F.array(rc_col, *[sf.s2_parent("rc", tl) for tl in coarser_t])
+        ) if coarser_t else F.array(rc_col)
+        ring = remaining.withColumn(
+            "rc", F.explode(F.array_distinct(_ring_cells("qcell", "ring_lvl")))
+        ).withColumn("qt", F.explode(qterms)).drop("rc")
+        lv_t = F.col("tlvl")
+        tterms = F.array_distinct(
+            F.filter(
+                F.array(
+                    F.col("tcell"),
+                    F.when(
+                        F.lit(lvl_round) <= lv_t,
+                        sf.s2_parent("tcell", lvl_round),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        pterm = c.withColumn("tt", F.explode(tterms))
+        cand = ring.join(pterm, F.col("qt") == F.col("tt"), "inner").drop(
+            "qt", "tt"
+        )
+        cand = cand.withColumn(
+            "dist2", cell_dist2("tcell", "qx", "qy", "qz")
+        ).dropDuplicates([query_id, cell_label, "tcell"])
+        w = Window.partitionBy(query_id).orderBy("dist2", cell_label, "tcell")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        ).cache()
+        lvl_now = lvl_round
+        bound = F.lit(_safe_chord2(lvl_now))
+        per_query = topk.groupBy(query_id).agg(
+            F.count("*").alias("n_cand"), F.max("dist2").alias("kth")
+        )
+        resolved = per_query.filter(
+            (F.lit(lvl_now) <= 0) | ((F.col("n_cand") == k) & (F.col("kth") <= bound))
+        ).select(query_id)
+        results.append(
+            topk.join(F.broadcast(resolved), query_id, "leftsemi").select(
+                query_id, cell_label, F.col("tcell").alias("cell"), "rank", "dist2"
+            )
+        )
+        if r == n_rounds - 1:
+            break
+        remaining = (
+            remaining.join(F.broadcast(resolved), query_id, "left_anti")
+            .withColumn("ring_lvl", F.greatest(F.col("ring_lvl") - 2, F.lit(0)))
+            .cache()
+        )
+        if remaining.isEmpty():
+            break
+    out = results[0]
+    for res in results[1:]:
+        out = out.unionByName(res)
+    return out

@@ -404,3 +404,85 @@ class TestBooleanOps:
         B = loops.parse_loop_text("0:10, 0:20, 10:20, 10:10")  # shares an edge
         with pytest.raises(ValueError):
             bo.loop_boolean(A, B, "intersection")
+
+
+class TestFurthestAndClosestCell:
+    def test_furthest_matches_bruteforce(self, spark, points_df, points_pdf):
+        qpdf = pd.DataFrame(
+            {
+                "query_id": np.arange(12, dtype=np.int64),
+                "lat": RNG.uniform(-70, 70, 12),
+                "lon": RNG.uniform(-180, 180, 12),
+            }
+        )
+        k = 4
+        got = (
+            knn_op.furthest_join(spark.createDataFrame(qpdf), points_df, k=k)
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        px, py, pz = sc.latlng_degrees_to_xyz(
+            points_pdf["lat"].to_numpy(), points_pdf["lon"].to_numpy()
+        )
+        qx, qy, qz = sc.latlng_degrees_to_xyz(
+            qpdf["lat"].to_numpy(), qpdf["lon"].to_numpy()
+        )
+        for qi in range(len(qpdf)):
+            d2 = (px - qx[qi]) ** 2 + (py - qy[qi]) ** 2 + (pz - qz[qi]) ** 2
+            # furthest-k, ties by point_id ascending == nearest to antipode
+            order = np.lexsort((points_pdf["point_id"].to_numpy(), -d2))
+            want = points_pdf["point_id"].to_numpy()[order[:k]].tolist()
+            sub = got[got["query_id"] == qi]
+            assert sub["point_id"].tolist() == want, qi
+            assert np.allclose(
+                sub["dist2"].to_numpy(), np.sort(d2)[::-1][:k], atol=1e-9
+            )
+
+    def test_closest_cell_matches_bruteforce(self, spark):
+        from s2geo_spark.kernel import cells as cl
+        from s2geo_spark.kernel import cellid_v1 as v1
+
+        rng = np.random.default_rng(12)
+        # mixed-level cell index: levels 4, 6, 8
+        cells_list = []
+        for lvl, n in [(4, 20), (6, 40), (8, 60)]:
+            leaf = v1.from_latlng(
+                rng.uniform(-60, 60, n), rng.uniform(-180, 180, n)
+            )
+            cells_list.append(v1.parent(leaf, lvl))
+        all_cells = np.unique(np.concatenate(cells_list))
+        cdf = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "label": np.arange(len(all_cells), dtype=np.int64),
+                    "cell": all_cells.view(np.int64),
+                }
+            )
+        )
+        qpdf = pd.DataFrame(
+            {
+                "query_id": np.arange(15, dtype=np.int64),
+                "lat": rng.uniform(-70, 70, 15),
+                "lon": rng.uniform(-180, 180, 15),
+            }
+        )
+        k = 3
+        got = (
+            knn_op.closest_cell_join(spark.createDataFrame(qpdf), cdf, k=k)
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        qx, qy, qz = sc.latlng_degrees_to_xyz(
+            qpdf["lat"].to_numpy(), qpdf["lon"].to_numpy()
+        )
+        for qi in range(len(qpdf)):
+            d2 = cl.distance2_to_points(
+                np.repeat(all_cells, 1),
+                np.full(len(all_cells), qx[qi]),
+                np.full(len(all_cells), qy[qi]),
+                np.full(len(all_cells), qz[qi]),
+            )
+            order = np.lexsort((np.arange(len(all_cells)), d2))
+            want = order[:k].tolist()
+            sub = got[got["query_id"] == qi]
+            assert sub["label"].tolist() == want, (qi, sub["label"].tolist(), want)
