@@ -1,0 +1,92 @@
+"""§2.5 polyline constructive ops: simplify / tessellate / DTW align /
+grid-quantized buffer — tolerance and consistency oracles."""
+
+import math
+
+import numpy as np
+
+from s2geo_spark.kernel import (
+    booleanop as bo,
+    edges as ek,
+    loops as lps,
+    polyline as pl,
+    s2coords as sc,
+)
+
+RNG = np.random.default_rng(21)
+
+
+def _zigzag(n=41):
+    t = np.linspace(0, 20, n)
+    lat = 0.02 * (-1) ** np.arange(n)
+    x, y, z = sc.latlng_degrees_to_xyz(lat, t)
+    return np.stack([x, y, z], 1)
+
+
+class TestSimplify:
+    def test_collapses_within_tolerance(self):
+        v = _zigzag()
+        simp = pl.simplify_polyline(v, math.radians(0.1))
+        assert len(simp) <= 4
+        d2 = ek.point_polyline_chord2(v, simp)
+        tol_chord = 2 * math.sin(math.radians(0.1) / 2)
+        assert (np.sqrt(d2) <= tol_chord + 1e-12).all()
+
+    def test_tight_tolerance_keeps_all(self):
+        v = _zigzag()
+        assert len(pl.simplify_polyline(v, math.radians(0.001))) == len(v)
+
+    def test_endpoints_preserved(self):
+        v = _zigzag()
+        simp = pl.simplify_polyline(v, math.radians(1.0))
+        assert (simp[0] == v[0]).all() and (simp[-1] == v[-1]).all()
+
+
+class TestTessellate:
+    def test_high_latitude_geodesic_subdivides(self):
+        a = np.array(sc.latlng_degrees_to_xyz(np.array([60.0]), np.array([0.0]))).ravel()
+        b = np.array(sc.latlng_degrees_to_xyz(np.array([60.0]), np.array([90.0]))).ravel()
+        fine = pl.tessellate_edge(a, b, math.radians(0.1))
+        coarse = pl.tessellate_edge(a, b, math.radians(10.0))
+        assert len(fine) > 8 and len(coarse) == 2
+        # refining the tolerance never coarsens the chain
+        finer = pl.tessellate_edge(a, b, math.radians(0.01))
+        assert len(finer) >= len(fine)
+        # all tessellation vertices lie on the geodesic's great circle
+        n = np.cross(a, b)
+        n /= np.linalg.norm(n)
+        assert (np.abs(fine @ n) < 1e-12).all()
+
+
+class TestDtw:
+    def test_identity_is_diagonal(self):
+        v = _zigzag(10)
+        cost, path = pl.dtw_alignment(v, v)
+        assert cost == 0.0 and path == [(i, i) for i in range(10)]
+
+    def test_monotone_and_anchored(self):
+        a = _zigzag(12)
+        b = _zigzag(8)
+        cost, path = pl.dtw_alignment(a, b)
+        assert cost >= 0 and path[0] == (0, 0) and path[-1] == (11, 7)
+        di = np.diff([p[0] for p in path])
+        dj = np.diff([p[1] for p in path])
+        assert (di >= 0).all() and (dj >= 0).all()
+        assert ((di + dj) >= 1).all()
+
+
+class TestBufferLoop:
+    def test_buffer_covers_dilation(self):
+        loop = lps.make_regular_loop(40.0, -70.0, 2.0, 64)
+        r = math.radians(1.0)
+        buf = pl.buffer_loop(loop, r)
+        la = 40 + RNG.uniform(-4, 4, 4000)
+        lo = -70 + RNG.uniform(-5, 5, 4000)
+        px, py, pz = sc.latlng_degrees_to_xyz(la, lo)
+        P = np.stack([px, py, pz], 1)
+        inside_buf = bo.region_contains_points(buf, P)
+        d2 = ek.point_polyline_chord2(P, np.concatenate([loop, loop[:1]]))
+        in_loop = lps.PreparedLoop(loop).contains_points(P)
+        chord = 2 * math.sin(r / 2)
+        must = in_loop | (d2 <= (chord * 0.999) ** 2)
+        assert not (must & ~inside_buf).any()
