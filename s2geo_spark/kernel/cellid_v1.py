@@ -296,6 +296,21 @@ def advance(cell_id, steps):
     return cell_id + (steps.astype(np.uint64) << step_shift)
 
 
+def advance_wrap(cell_id, steps):
+    """Move `steps` cells along the Hilbert curve at the same level, with
+    MODULAR wrap across the curve's ends (s2cell_id_v1.cc AdvanceWrap,
+    s2cell_id.cc:146-171): position arithmetic mod the number of cells at
+    the level (6 * 4^level), unlike `advance` which clamps."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    steps = np.asarray(steps, dtype=np.int64)
+    step_shift = (2 * (MAX_LEVEL - level(cell_id)) + 1).astype(np.uint64)
+    n_cells = (WRAP_OFFSET >> step_shift).astype(np.int64)  # 6 * 4^level
+    pos = (cell_id >> step_shift).astype(np.int64)
+    new_pos = (pos + steps) % n_cells
+    new_pos = np.where(new_pos < 0, new_pos + n_cells, new_pos)
+    return (new_pos.astype(np.uint64) << step_shift) | (cell_id & ((np.uint64(1) << step_shift) - np.uint64(1)))
+
+
 def distance_from_begin(cell_id):
     """Hilbert-curve position at the cell's level (s2cell_id_v1.cc:146-149)."""
     cell_id = np.asarray(cell_id, dtype=np.uint64)

@@ -144,6 +144,33 @@ class Cap:
         ids, valid = v1.append_vertex_neighbors(center_cell, lvl)
         return ids[valid]
 
+    def get_rect_bound(self) -> "LatLngRect":
+        """Tight lat/lng bounding rectangle (S2Cap::GetRectBound,
+        s2cap.cc:162-199): lat span = center_lat +- radius clamped to the
+        poles; lng full when a pole is inside, else center_lng +-
+        asin(sin(radius) / cos(center_lat))."""
+        if self.length2 < 0:
+            return LatLngRect(1.0, -1.0, 180.0, -180.0)  # empty
+        clat, clng = sc.xyz_to_latlng_degrees(
+            np.array([self.center[0]]),
+            np.array([self.center[1]]),
+            np.array([self.center[2]]),
+        )
+        clat, clng = float(clat[0]), float(clng[0])
+        r_deg = np.degrees(self.radius_radians)
+        lat_lo = clat - r_deg
+        lat_hi = clat + r_deg
+        if lat_lo <= -90.0 or lat_hi >= 90.0:
+            return LatLngRect(max(lat_lo, -90.0), min(lat_hi, 90.0), -180.0, 180.0)
+        sin_a = np.sin(self.radius_radians)
+        cos_lat = np.cos(np.radians(clat))
+        if sin_a >= cos_lat:
+            return LatLngRect(lat_lo, lat_hi, -180.0, 180.0)
+        dlng = np.degrees(np.arcsin(sin_a / cos_lat))
+        lo = ((clng - dlng + 180.0) % 360.0) - 180.0
+        hi = ((clng + dlng + 180.0) % 360.0) - 180.0
+        return LatLngRect(lat_lo, lat_hi, lo, hi)
+
 
 class LatLngRect:
     """Latitude/longitude rectangle (S2LatLngRect, src/s2/s2latlng_rect.h).
@@ -161,6 +188,44 @@ class LatLngRect:
         if self.lng_lo <= self.lng_hi:
             return (lng >= self.lng_lo) & (lng <= self.lng_hi)
         return (lng >= self.lng_lo) | (lng <= self.lng_hi)
+
+    def is_empty(self) -> bool:
+        return self.lat_lo > self.lat_hi
+
+    def expanded(self, margin_lat_deg: float, margin_lng_deg: float) -> "LatLngRect":
+        """S2LatLngRect::Expanded (s2latlng_rect.cc:150-170): grow both
+        intervals; the lng interval becomes full when the margin pushes it
+        past a half-circle, and an empty rect stays empty."""
+        if self.is_empty():
+            return LatLngRect(1.0, -1.0, 180.0, -180.0)
+        lat_lo = max(self.lat_lo - margin_lat_deg, -90.0)
+        lat_hi = min(self.lat_hi + margin_lat_deg, 90.0)
+        width = (
+            self.lng_hi - self.lng_lo
+            if self.lng_lo <= self.lng_hi
+            else 360.0 - (self.lng_lo - self.lng_hi)
+        )
+        if width + 2.0 * margin_lng_deg >= 360.0 - 1e-12:
+            return LatLngRect(lat_lo, lat_hi, -180.0, 180.0)
+        lo = ((self.lng_lo - margin_lng_deg + 180.0) % 360.0) - 180.0
+        hi = ((self.lng_hi + margin_lng_deg + 180.0) % 360.0) - 180.0
+        return LatLngRect(lat_lo, lat_hi, lo, hi)
+
+    def get_distance_degrees(self, lat, lng) -> np.ndarray:
+        """Approximate surface distance (degrees) from points to the rect
+        (S2LatLngRect::GetDistance semantics, s2latlng_rect.cc:400-460):
+        0 inside; else the lat excess and the lng excess scaled by
+        cos(closest latitude) combined as a right-angle bound. Exact for
+        pure-lat or pure-lng offsets; conservative-to-~1% for corners."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lng = np.asarray(lng, dtype=np.float64)
+        dlat = np.maximum(np.maximum(self.lat_lo - lat, lat - self.lat_hi), 0.0)
+        inside_lng = self._lng_contains(lng)
+        d_lo = np.abs(((lng - self.lng_lo) + 180.0) % 360.0 - 180.0)
+        d_hi = np.abs(((lng - self.lng_hi) + 180.0) % 360.0 - 180.0)
+        dlng = np.where(inside_lng, 0.0, np.minimum(d_lo, d_hi))
+        clamp_lat = np.clip(lat, self.lat_lo, self.lat_hi)
+        return np.hypot(dlat, dlng * np.cos(np.radians(clamp_lat)))
 
     def contains_points(self, px, py, pz):
         lat, lng = sc.xyz_to_latlng_degrees(px, py, pz)

@@ -183,3 +183,48 @@ class TestRasterToVector:
         got = bo.region_contains_points(loops_list, np.stack([x, y, z], 1))
         mism = (got != cu.contains_id(cov, leaf)).sum()
         assert mism <= 3  # quantized cross-face stitch: ulp-band stragglers
+
+
+class TestRegionApiAdditions:
+    def test_advance_wrap(self):
+        lvl = 5
+        begin = v1.child_begin(
+            np.array([(2 * 0 + 1) << 60], dtype=np.uint64), lvl
+        )
+        n_cells = 6 * 4**lvl
+        assert (v1.advance_wrap(begin, np.array([n_cells])) == begin).all()
+        last = v1.advance_wrap(begin, np.array([-1]))
+        assert int(v1.distance_from_begin(last)[0]) == n_cells - 1
+        assert (v1.advance_wrap(begin, np.array([1000])) ==
+                v1.advance(begin, np.array([1000]))).all()
+        cells = v1.parent(
+            v1.from_latlng(RNG.uniform(-80, 80, 200), RNG.uniform(-180, 180, 200)), 8
+        )
+        ks = RNG.integers(-(10**7), 10**7, 200)
+        assert (v1.advance_wrap(v1.advance_wrap(cells, ks), -ks) == cells).all()
+
+    def test_cap_rect_bound(self):
+        cap = regions.Cap.from_latlng_radius_degrees(40.0, -70.0, 5.0)
+        b = cap.get_rect_bound()
+        v = RNG.normal(size=(30000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        inside = cap.contains_points(v[:, 0], v[:, 1], v[:, 2])
+        lat, lng = sc.xyz_to_latlng_degrees(v[:, 0], v[:, 1], v[:, 2])
+        inb = (lat >= b.lat_lo) & (lat <= b.lat_hi) & b._lng_contains(lng)
+        assert not (inside & ~inb).any()
+        assert abs((b.lat_hi - b.lat_lo) - 10.0) < 1e-9
+        polar = regions.Cap.from_latlng_radius_degrees(89.0, 0.0, 5.0).get_rect_bound()
+        assert polar.lng_lo == -180.0 and polar.lat_hi == 90.0
+
+    def test_rect_expanded_and_distance(self):
+        r = regions.LatLngRect(10, 20, 170, -170)  # wraps the antimeridian
+        e = r.expanded(5, 5)
+        assert e.lat_lo == 5 and e.lat_hi == 25
+        assert e._lng_contains(np.array([166.0]))[0]
+        assert r.expanded(0, 180).lng_hi == 180.0
+        d = r.get_distance_degrees(
+            np.array([15.0, 25.0, 15.0]), np.array([175.0, 175.0, 160.0])
+        )
+        assert d[0] == 0.0
+        assert abs(d[1] - 5.0) < 1e-12
+        assert abs(d[2] - 10.0 * np.cos(np.radians(15.0))) < 1e-9
