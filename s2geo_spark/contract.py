@@ -837,14 +837,18 @@ def q_jaccard_pairs(spark, sf_dir):
             "doc_a", "doc_b"
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    # candidate pairs are tiny relative to the shingle table (each doc has
+    # ~1e3 shingles but ~1e1 candidate partners): broadcast them so the
+    # per-pair expansion is map-side; the one unavoidable shuffle is the
+    # expanded (doc_b, g) rows into the second hash join (work scales with
+    # sum over pairs of |shingles(doc_a)| — the LSH-bounded quantity)
+    pairs = F.broadcast(pairs.distinct())
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     inter = (
         pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.col("ga") == F.col("gb"))
-        .groupBy("doc_a", "doc_b")
+        .join(sb, (F.col("gb") == F.col("ga")) & (sb["doc_b"] == pairs["doc_b"]))
+        .groupBy(pairs["doc_a"], pairs["doc_b"])
         .agg(F.count("*").alias("n_inter"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
