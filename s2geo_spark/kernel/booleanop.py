@@ -220,3 +220,47 @@ def region_area(loops_list) -> float:
         )
         total += m.loop_area(l) * (1.0 if depth % 2 == 0 else -1.0)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Winding-number operations (S2WindingOperation, s2winding_operation.h)
+# ---------------------------------------------------------------------------
+
+def winding_number(loops_list, points: np.ndarray) -> np.ndarray:
+    """Winding number of each point w.r.t. a collection of SIMPLE oriented
+    loops (S2WindingOperation semantics for non-self-intersecting input;
+    the reference additionally snap-rounds self-intersecting inputs via
+    S2Builder — out of scope, documented).
+
+    For a simple loop, the winding contribution is the indicator of its
+    left-interior; a clockwise loop's left-interior is the big complement,
+    so W(p) = sum of contains_i(p) minus the number of CW loops normalizes
+    the sphere's "outside" to 0."""
+    from . import measures as m
+
+    points = np.asarray(points, dtype=np.float64)
+    w = np.zeros(points.shape[0], dtype=np.int64)
+    n_cw = 0
+    for l in loops_list:
+        lp = lps.PreparedLoop(np.asarray(l, dtype=np.float64))
+        if m.loop_area(l) > 2.0 * np.pi:
+            n_cw += 1
+        w += lp.contains_points(points).astype(np.int64)
+    return w - n_cw
+
+
+def winding_contains_points(
+    loops_list, points: np.ndarray, rule: str = "positive"
+) -> np.ndarray:
+    """Region membership by winding rule (S2WindingOperation WindingRule):
+    positive (W > 0), negative (W < 0), non_zero (W != 0), odd (W & 1)."""
+    w = winding_number(loops_list, points)
+    if rule == "positive":
+        return w > 0
+    if rule == "negative":
+        return w < 0
+    if rule == "non_zero":
+        return w != 0
+    if rule == "odd":
+        return (w & 1).astype(bool)
+    raise ValueError(rule)

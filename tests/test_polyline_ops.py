@@ -90,3 +90,36 @@ class TestBufferLoop:
         chord = 2 * math.sin(r / 2)
         must = in_loop | (d2 <= (chord * 0.999) ** 2)
         assert not (must & ~inside_buf).any()
+
+
+class TestWinding:
+    """Winding rules cross-checked against the boolean-op stitcher: for
+    two CCW loops, positive == union, W >= 2 == intersection, odd ==
+    symmetric difference; a CW hole cancels the shell."""
+
+    def test_rules_match_boolean_ops(self):
+        A = lps.make_regular_loop(0.0, 0.0, 20.0, 96)
+        B = lps.make_regular_loop(0.0, 15.0, 20.0, 96)
+        v = RNG.normal(size=(4000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        w = bo.winding_number([A, B], v)
+        inA = lps.PreparedLoop(A).contains_points(v)
+        inB = lps.PreparedLoop(B).contains_points(v)
+        assert (bo.winding_contains_points([A, B], v, "positive") == (inA | inB)).all()
+        assert ((w >= 2) == (inA & inB)).all()
+        assert (bo.winding_contains_points([A, B], v, "odd") == (inA ^ inB)).all()
+        # and against the stitched boolean results
+        uni = bo.loop_boolean(A, B, "union")
+        assert (bo.region_contains_points(uni, v) == (w > 0)).all()
+
+    def test_cw_hole_cancels(self):
+        shell = lps.make_regular_loop(0.0, 0.0, 20.0, 64)
+        hole = lps.make_regular_loop(0.0, 0.0, 5.0, 64)[::-1]  # CW
+        v = RNG.normal(size=(3000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        w = bo.winding_number([shell, hole], v)
+        in_shell = lps.PreparedLoop(shell).contains_points(v)
+        in_hole = lps.PreparedLoop(hole[::-1]).contains_points(v)
+        assert (w == (in_shell.astype(int) - in_hole.astype(int))).all()
+        got = bo.winding_contains_points([shell, hole], v, "positive")
+        assert (got == (in_shell & ~in_hole)).all()
