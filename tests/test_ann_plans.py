@@ -171,3 +171,28 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.4
         assert got <= truth  # no false positives: exact cosine on candidates
         if truth:
             assert len(got & truth) / len(truth) >= 0.33
+
+
+class TestIvfLargeLists:
+    def test_large_n_lists_recall(self, spark, vectors_df):
+        """n_lists > 32 takes the broadcast-matmul assignment path; recall
+        against the exact scan stays high."""
+        df, x = vectors_df
+        q = df.filter(F.col("vec_id") < 15).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        exact = ann.brute_force_topk(q, df, k=5).toPandas()
+        approx = ann.ivf_topk(q, df, k=5, n_lists=48, nprobe=8).toPandas()
+        exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+        approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+        recalls = [
+            len(exact_sets[qi] & approx_sets.get(qi, set())) / 5.0
+            for qi in exact_sets.index
+        ]
+        assert np.mean(recalls) >= 0.7, np.mean(recalls)
+
+    def test_centroids_deterministic(self, spark, vectors_df):
+        df, _ = vectors_df
+        c1 = ann.train_centroids(df, 16)
+        c2 = ann.train_centroids(df.repartition(13), 16)
+        assert np.array_equal(c1, c2)  # ordering-stable sample

@@ -187,3 +187,92 @@ class TestStreaming:
             assert got["total"] == n_geo
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStatefulSessionize:
+    def test_sessions_match_batch_rule(self, spark):
+        """applyInPandasWithState sessionizer (event-time timeout) vs the
+        batch gap rule: with a far-future sentinel advancing the
+        watermark, EVERY regular session is emitted — closed by in-data
+        gaps or flushed by the watermark timeout — and must match the
+        lag-window batch computation exactly."""
+        import numpy as np
+        import pandas as pd
+
+        tmp = tempfile.mkdtemp()
+        try:
+            rng = np.random.default_rng(31)
+            rows = []
+            base = 1_700_000_000
+            for uid in range(10):
+                t = base + int(rng.integers(0, 600))
+                for _ in range(int(rng.integers(2, 5))):
+                    for _ in range(int(rng.integers(1, 6))):
+                        rows.append((uid, t))
+                        t += int(rng.integers(10, 600))  # intra-session
+                    t += 1801 + int(rng.integers(1, 3600))  # close the gap
+            sentinel_uid, sentinel_t = 999, base + 10 * 86400
+            pdf = pd.DataFrame(rows, columns=["user_id", "epoch"])
+            all_pdf = pd.concat(
+                [pdf, pd.DataFrame([(sentinel_uid, sentinel_t)], columns=pdf.columns)]
+            )
+            all_pdf["ts"] = pd.to_datetime(all_pdf["epoch"], unit="s")
+            spark.createDataFrame(all_pdf[["user_id", "ts"]]).orderBy(
+                "ts"
+            ).coalesce(2).write.mode("overwrite").parquet(f"{tmp}/events")
+
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+                TimestampType,
+            )
+
+            schema = StructType(
+                [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+            )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/events")
+            )
+            sess = stream_pipe.sessionize_stream(stream, gap_seconds=1800)
+            stream_pipe.run_to_memory(sess, "sessions_stream", mode="append")
+            got = (
+                spark.sql(
+                    "SELECT user_id, session_start, session_end, n_events "
+                    "FROM sessions_stream WHERE user_id <> 999"
+                )
+                .orderBy("user_id", "session_start")
+                .toPandas()
+            )
+            # batch oracle: full gap-rule sessions per regular user
+            b = pdf.sort_values(["user_id", "epoch"]).reset_index(drop=True)
+            want_rows = []
+            for uid, grp in b.groupby("user_id"):
+                times = grp["epoch"].tolist()
+                start = last = times[0]
+                n = 1
+                for t in times[1:]:
+                    if t - last > 1800:
+                        want_rows.append((uid, start, last, n))
+                        start, n = t, 0
+                    last = t
+                    n += 1
+                want_rows.append((uid, start, last, n))
+            want = (
+                pd.DataFrame(
+                    want_rows,
+                    columns=["user_id", "session_start", "session_end", "n_events"],
+                )
+                .sort_values(["user_id", "session_start"])
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(want), (len(got), len(want))
+            for c in want.columns:
+                assert (
+                    got[c].to_numpy().astype("int64")
+                    == want[c].to_numpy().astype("int64")
+                ).all(), c
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
