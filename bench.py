@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "s2_cap_join",
     "s2_pip_join",
     "s2_pip_large",
+    "s2_boolean_counts",
+    "s2_edge_crossings",
+    "h3_tile_counts",
     "s2_knn",
     "dedup_minhash",
     "dedup_jaccard_pairs",

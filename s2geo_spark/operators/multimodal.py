@@ -74,3 +74,102 @@ def extract_media_meta(df: DataFrame, key_col: str, binary_col: str) -> DataFram
             )
 
     return df.select(key_col, binary_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "key string, width int, height int, target_w int, target_h int, "
+    "resized binary"
+)
+
+
+def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize: deterministic bytes derived from (payload digest,
+    target dims) — a real implementation decodes, PIL-resizes, re-encodes.
+    Output size scales with the target area so downstream size accounting
+    is exercised realistically."""
+    digest = hashlib.sha256(payload + target_w.to_bytes(4, "big") + target_h.to_bytes(4, "big")).digest()
+    reps = max(1, (target_w * target_h) // 32)
+    return (digest * reps)[: target_w * target_h]
+
+
+def resize_media(
+    df: DataFrame, key_col: str, binary_col: str,
+    target_w: int = 32, target_h: int = 32,
+) -> DataFrame:
+    """mapInPandas resize: binary -> (original dims, target dims, resized
+    bytes). The Spark-side plumbing (Arrow binary round-trip both ways,
+    schema, batch shape) is real; the pixel work is the documented stub."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[binary_col]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, _ = _decode_stub(b)
+                rows.append(
+                    {
+                        "key": key,
+                        "width": np.int32(w),
+                        "height": np.int32(h),
+                        "target_w": np.int32(target_w),
+                        "target_h": np.int32(target_h),
+                        "resized": _resize_stub(b, target_w, target_h),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "width", "height", "target_w", "target_h", "resized"],
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "key string, frame_idx int, n_frames int, ts_ms long, frame binary, "
+    "frame_feature array<float>"
+)
+
+
+def sample_frames(
+    df: DataFrame, key_col: str, binary_col: str, n_frames: int = 4
+) -> DataFrame:
+    """mapInPandas video frame sampling: one input row fans out to
+    n_frames output rows (frame_idx, synthetic timestamp, frame bytes,
+    per-frame feature). The 1->N Arrow fan-out, the per-frame schema, and
+    deterministic frame identity are the real plumbing; frame extraction
+    itself is the documented stub (a real implementation seeks with
+    pyav/ffmpeg). Pseudo-duration is derived from the payload so
+    timestamps are deterministic."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[binary_col]):
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(b).digest()
+                duration_ms = 1000 + int.from_bytes(digest[2:4], "big")
+                for i in range(n_frames):
+                    ts = (duration_ms * i) // max(n_frames - 1, 1)
+                    fdig = hashlib.sha256(b + i.to_bytes(4, "big")).digest()
+                    rows.append(
+                        {
+                            "key": key,
+                            "frame_idx": np.int32(i),
+                            "n_frames": np.int32(n_frames),
+                            "ts_ms": np.int64(ts),
+                            "frame": fdig,
+                            "frame_feature": (
+                                np.frombuffer(fdig[:8], dtype=np.uint8)
+                                .astype(np.float32) / 255.0
+                            ).tolist(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "frame_idx", "n_frames", "ts_ms", "frame",
+                    "frame_feature",
+                ],
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -55,3 +55,48 @@ def test_media_meta_extraction(spark):
     assert all(
         list(f1) == list(f2) for f1, f2 in zip(out["feature"], out2["feature"])
     )
+
+
+class TestMultimodalPlumbing:
+    def test_resize_schema_and_determinism(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "key": ["a", "b"],
+                "payload": [b"\x89PNG1234payload", b"\xff\xd8\xffjpegpayload"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        from s2geo_spark.operators import multimodal as mm
+
+        out = mm.resize_media(df, "key", "payload", 16, 8).orderBy("key").toPandas()
+        assert list(out.columns) == [
+            "key", "width", "height", "target_w", "target_h", "resized"
+        ]
+        assert (out["target_w"] == 16).all() and (out["target_h"] == 8).all()
+        assert out["resized"].apply(lambda b: len(bytes(b))).eq(16 * 8).all()
+        out2 = mm.resize_media(df.repartition(2), "key", "payload", 16, 8).orderBy("key").toPandas()
+        assert (out["resized"].apply(bytes) == out2["resized"].apply(bytes)).all()
+
+    def test_frame_sampling_fanout(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"key": ["v1", "v2", "v3"], "payload": [b"videoA", b"videoB", b"videoC"]}
+        )
+        df = spark.createDataFrame(pdf)
+        from s2geo_spark.operators import multimodal as mm
+
+        out = mm.sample_frames(df, "key", "payload", n_frames=5).toPandas()
+        assert len(out) == 15  # 1 -> N fan-out
+        for _, grp in out.groupby("key"):
+            assert sorted(grp["frame_idx"].tolist()) == [0, 1, 2, 3, 4]
+        # timestamps monotone per video, deterministic across runs
+        for _, grp in out.groupby("key"):
+            ts = grp.sort_values("frame_idx")["ts_ms"].tolist()
+            assert ts == sorted(ts) and ts[0] == 0
+        out2 = mm.sample_frames(df.repartition(3), "key", "payload", n_frames=5).toPandas()
+        m1 = out.sort_values(["key", "frame_idx"])["frame"].apply(bytes).tolist()
+        m2 = out2.sort_values(["key", "frame_idx"])["frame"].apply(bytes).tolist()
+        assert m1 == m2
