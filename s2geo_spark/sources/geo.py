@@ -57,7 +57,7 @@ def points_sql(table: str, key: str, id_alias: str = "point_id") -> str:
 
 
 # --- deterministic edge layers (for the crossing join) ---------------------
-# endpoint1 = the point for `key`; endpoint2 = endpoint1 + a +-30 deg delta
+# endpoint1 = the point for `key`; endpoint2 = endpoint1 + a +-3 deg delta
 # derived from the same key — identical integer arithmetic in SQL.
 _DLAT_MUL, _DLAT_ADD = 13, 5
 _DLON_MUL, _DLON_ADD = 29, 11
@@ -67,8 +67,8 @@ def edges_from(df, key: str, id_alias: str = "edge_id"):
     k = F.col(key).cast("long")
     lat1 = lat_col(key)
     lon1 = lon_col(key)
-    dlat = ((k * _DLAT_MUL + _DLAT_ADD) % 600) / 10.0 - 30.0
-    dlon = ((k * _DLON_MUL + _DLON_ADD) % 600) / 10.0 - 30.0
+    dlat = ((k * _DLAT_MUL + _DLAT_ADD) % 600) / 100.0 - 3.0
+    dlon = ((k * _DLON_MUL + _DLON_ADD) % 600) / 100.0 - 3.0
     return df.select(
         k.alias(id_alias),
         lat1.alias("lat1"),
@@ -81,8 +81,8 @@ def edges_from(df, key: str, id_alias: str = "edge_id"):
 def edges_sql(table: str, key: str, id_alias: str = "edge_id") -> str:
     lat1 = lat_sql(key)
     lon1 = lon_sql(key)
-    dlat = f"((CAST({key} AS BIGINT) * {_DLAT_MUL} + {_DLAT_ADD}) % 600) / 10.0 - 30.0"
-    dlon = f"((CAST({key} AS BIGINT) * {_DLON_MUL} + {_DLON_ADD}) % 600) / 10.0 - 30.0"
+    dlat = f"((CAST({key} AS BIGINT) * {_DLAT_MUL} + {_DLAT_ADD}) % 600) / 100.0 - 3.0"
+    dlon = f"((CAST({key} AS BIGINT) * {_DLON_MUL} + {_DLON_ADD}) % 600) / 100.0 - 3.0"
     return (
         f"SELECT CAST({key} AS BIGINT) AS {id_alias}, "
         f"{lat1} AS lat1, {lon1} AS lon1, "
