@@ -264,3 +264,93 @@ def winding_contains_points(
     if rule == "odd":
         return (w & 1).astype(bool)
     raise ValueError(rule)
+
+
+# ---------------------------------------------------------------------------
+# Snap rounding + chain cleanup (S2Builder subset, s2builder.h semantics)
+# ---------------------------------------------------------------------------
+
+def snap_to_cell_centers(vertices: np.ndarray, level: int) -> np.ndarray:
+    """S2CellIdSnapFunction (s2builderutil_snap_functions.h): snap each
+    vertex to the center of its level-`level` cell. Idempotent (a cell
+    center snaps to itself) with snap radius <= half the cell diagonal."""
+    from . import cellid_v1 as v1
+    from . import s2coords as sc
+
+    v = np.asarray(vertices, dtype=np.float64)
+    lat, lng = sc.xyz_to_latlng_degrees(v[:, 0], v[:, 1], v[:, 2])
+    cells = v1.parent(v1.from_latlng(lat, lng), level)
+    cx, cy, cz = v1.to_point(cells)
+    return np.stack([cx, cy, cz], axis=1)
+
+
+def clean_chain(vertices: np.ndarray) -> np.ndarray:
+    """S2Builder edge-chain cleanup subset: drop consecutive duplicate
+    vertices and fold degenerate spikes (a -> b -> a), iterating to a
+    fixed point. Returns the cleaned CLOSED chain; fewer than 3 surviving
+    vertices means the loop degenerated to nothing (empty array)."""
+    v = [tuple(p) for p in np.asarray(vertices, dtype=np.float64)]
+    changed = True
+    while changed and len(v) >= 3:
+        changed = False
+        out = []
+        n = len(v)
+        for i in range(n):
+            if v[i] == v[(i + 1) % n]:
+                changed = True
+                continue
+            out.append(v[i])
+        v = out
+        n = len(v)
+        if n >= 3:
+            out = []
+            skip = set()
+            for i in range(n):
+                if v[(i - 1) % n] == v[(i + 1) % n] and i not in skip:
+                    # spike at i: remove i and one copy of the duplicate
+                    skip.add(i)
+                    skip.add((i + 1) % n)
+                    changed = True
+            v = [p for i, p in enumerate(v) if i not in skip]
+    if len(v) < 3:
+        return np.empty((0, 3))
+    return np.array(v)
+
+
+def loop_is_simple(vertices: np.ndarray) -> bool:
+    """True when no two non-adjacent edges cross or touch (the validity
+    S2Builder guarantees post-snap; S2Loop::IsValid edge-pair part)."""
+    v = np.asarray(vertices, dtype=np.float64)
+    n = v.shape[0]
+    if n < 3:
+        return False
+    nxt = np.roll(v, -1, axis=0)
+    for i in range(n):
+        js = [j for j in range(i + 1, n) if j != (i + 1) % n and (j + 1) % n != i]
+        if not js:
+            continue
+        sign = ek.crossing_signs_pairs(
+            np.broadcast_to(v[i], (len(js), 3)),
+            np.broadcast_to(nxt[i], (len(js), 3)),
+            v[js],
+            nxt[js],
+        )
+        if (sign >= 0).any():
+            return False
+    return True
+
+
+def snap_round_loop(vertices: np.ndarray, level: int) -> np.ndarray:
+    """S2Builder subset: snap a loop's vertices to level-`level` cell
+    centers, clean the chain, and validate simplicity. Raises ValueError
+    when snapping collapses the loop or introduces a self-intersection
+    (the full S2Builder resolves those by splitting edges at snap sites;
+    out of scope, documented in COVERAGE.md)."""
+    snapped = clean_chain(snap_to_cell_centers(vertices, level))
+    if snapped.shape[0] < 3:
+        raise ValueError("loop degenerated under snapping (raise the level)")
+    if not loop_is_simple(snapped):
+        raise ValueError(
+            "snapping introduced a self-intersection (raise the level)"
+        )
+    return snapped

@@ -123,3 +123,49 @@ class TestWinding:
         assert (w == (in_shell.astype(int) - in_hole.astype(int))).all()
         got = bo.winding_contains_points([shell, hole], v, "positive")
         assert (got == (in_shell & ~in_hole)).all()
+
+
+class TestSnapRounding:
+    def test_snap_idempotent(self):
+        loop = lps.make_regular_loop(40.0, -70.0, 3.0, 48)
+        s1 = bo.snap_round_loop(loop, 12)
+        s2 = bo.snap_round_loop(s1, 12)
+        assert np.array_equal(s1, s2)
+
+    def test_snap_bounded_displacement(self):
+        from s2geo_spark.kernel import metrics
+
+        loop = lps.make_regular_loop(10.0, 20.0, 2.0, 64)
+        s = bo.snap_to_cell_centers(loop, 14)
+        chord = np.linalg.norm(s - loop, axis=1)
+        # displacement <= cell diagonal at the snap level
+        max_diag = metrics.metric_value(2 * metrics.MIN_WIDTH_DERIV, 14)
+        assert (chord <= max_diag).all()
+
+    def test_clean_chain_folds_spikes(self):
+        a, b, c, d = (np.array(p, dtype=float) for p in
+                      [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0)])
+        d = d / np.linalg.norm(d)
+        # duplicate vertex + spike c -> d -> c
+        chain = np.array([a, a, b, c, d, c])
+        cleaned = bo.clean_chain(chain)
+        assert [tuple(p) for p in cleaned] == [tuple(a), tuple(b), tuple(c)]
+
+    def test_simple_detects_bowtie(self):
+        square = lps.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        assert bo.loop_is_simple(square)
+        bowtie = lps.parse_loop_text("0:0, 10:10, 0:10, 10:0")
+        assert not bo.loop_is_simple(bowtie)
+
+    def test_degenerate_pair_snaps_apart_or_raises(self):
+        # loops sharing a vertex fail boolean ops; snapping to a coarse
+        # grid either separates or collapses them deterministically
+        A = lps.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        B = lps.parse_loop_text("0:10, 0:20, 10:20, 10:10")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bo.loop_boolean(A, B, "union")
+        sa = bo.snap_round_loop(A, 10)
+        sb = bo.snap_round_loop(B, 10)
+        assert bo.loop_is_simple(sa) and bo.loop_is_simple(sb)
