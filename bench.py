@@ -161,6 +161,8 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     n_pages = _pages_n(sf)
+    if n_pages > 4_000:
+        pages_pipeline(spark, 4_000)  # warmup (codegen + worker forks)
     t0 = time.perf_counter()
     joined_rows = pages_pipeline(spark, n_pages)
     pipeline_sec = time.perf_counter() - t0
