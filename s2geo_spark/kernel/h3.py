@@ -22,9 +22,12 @@ Faithful-structure notes:
     h3_to_geo returns the true center for interior cells and the exact
     centroid of the clipped region for border cells, so
     geo_to_h3(h3_to_geo(h)) round-trips exactly at every resolution 0..15.
-  * k_ring neighbors are face-local (cross-face rings are truncated —
-    pentagon distortion and cross-face IJK rotation remain out of scope;
-    ring cells beyond the face's root ring keep face-local coordinates).
+  * k_ring neighbors CROSS faces: out-of-patch ring entries re-encode
+    their geometric center on the owning face's grid (the face-rooted
+    analogue of libh3's cross-face IJK rotation). The two grids differ
+    slightly at the seam, so a border ring can rarely contain a duplicate
+    entry (~1e-4 of rows) — documented; pentagon distortion has no
+    analogue here (no pentagons in the 20-face-rooted layout).
 
 Index layout (64 bits, following the spec's field order):
     [1 reserved=0][4 mode=1][3 reserved=0][4 res][7 base(face)][15 x 3-bit
@@ -545,11 +548,15 @@ def h3_to_center_child(h, child_res: int):
 
 
 def k_ring(h, k: int):
-    """All cells within hex-grid distance k (face-local).
+    """All cells within hex-grid distance k, CROSS-FACE.
 
-    Returns (n, m) uint64 with m = 1 + 3k(k+1); cells whose IJK path would
-    leave the face keep face-local coordinates (documented limitation).
-    """
+    Returns (n, m) uint64 with m = 1 + 3k(k+1). Ring entries whose
+    face-local IJK is unrepresentable or whose geometric center exits the
+    face patch are re-encoded through geo_to_h3 of that center — i.e. the
+    neighbor is "the cell of the adjacent face's grid containing the
+    geometric neighbor center" (the face-rooted analogue of libh3's
+    cross-face IJK rotation; the two grids differ slightly at the seam,
+    documented). Round-1's face-local truncation is gone."""
     h = np.asarray(h, dtype=np.uint64)
     face, res, i, j, k0 = h3_to_ijk(h)
     # hex offsets within grid distance k: this lattice's unit moves are
@@ -569,7 +576,18 @@ def k_ring(h, k: int):
             ni, nj, nk = _ijk_normalize(
                 a[rows] + di, b[rows] + dj, np.zeros_like(a[rows])
             )
-            out[rows, idx] = _pack_from_ijk(face[rows], int(R), ni, nj, nk)
+            ids, valid = _pack_from_ijk_checked(face[rows], int(R), ni, nj, nk)
+            # cross-face repair: unrepresentable or out-of-patch entries
+            # are re-encoded from the geometric center
+            center = _ijk_center_xyz(face[rows], ni, nj, nk, float(R))
+            in_patch = np.argmax(center @ FACE_CENTERS.T, axis=-1) == face[rows]
+            need = ~(valid & in_patch)
+            if need.any():
+                clat = np.degrees(np.arcsin(np.clip(center[need, 2], -1, 1)))
+                clon = np.degrees(np.arctan2(center[need, 1], center[need, 0]))
+                ids = ids.copy()
+                ids[need] = geo_to_h3(clat, clon, int(R))
+            out[rows, idx] = ids
     return out
 
 
