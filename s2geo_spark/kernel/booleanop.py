@@ -354,3 +354,167 @@ def snap_round_loop(vertices: np.ndarray, level: int) -> np.ndarray:
             "snapping introduced a self-intersection (raise the level)"
         )
     return snapped
+
+
+# ---------------------------------------------------------------------------
+# Multi-loop region booleans (XOR-nested loop collections per side)
+# ---------------------------------------------------------------------------
+
+def _region_crossings(a_loops, b_loops):
+    """Crossings between every a-loop and every b-loop. Node identity =
+    (la, ia, lb, ib); returns list of (la, ia, lb, ib, point, ta, tb)."""
+    out = []
+    for la, a in enumerate(a_loops):
+        for lb, b in enumerate(b_loops):
+            for (ia, ib, x, ta, tb) in _crossings(a, b):
+                out.append((la, ia, lb, ib, x, ta, tb))
+    return out
+
+
+def _region_runs(loops_list, crossings, side):
+    """Split every loop of one side at its crossing nodes.
+
+    side=0: group crossings by (la, ia); side=1: by (lb, ib). Returns
+    (runs, uncrossed_loop_indices); run node ids are the full 4-tuples."""
+    runs = []
+    uncrossed = []
+    for li, verts in enumerate(loops_list):
+        mine = [c for c in crossings if c[0 if side == 0 else 2] == li]
+        if not mine:
+            uncrossed.append(li)
+            continue
+        # adapt to _runs' (ia, ib, x, ta, tb) shape with full node identity
+        adapted = [
+            ((c[0], c[1], c[2], c[3]), c[4], c[5], c[6], c[1 if side == 0 else 3])
+            for c in mine
+        ]
+        n = verts.shape[0]
+        per_edge = {i: [] for i in range(n)}
+        for node, x, ta, tb, edge_idx in adapted:
+            per_edge[edge_idx].append((node, x, ta if side == 0 else tb))
+        seq = []
+        for i in range(n):
+            seq.append(("v", i))
+            for node, x, t in sorted(per_edge[i], key=lambda e: e[2]):
+                seq.append(("x", (node, x)))
+        first_x = next(idx for idx, sv in enumerate(seq) if sv[0] == "x")
+        seq = seq[first_x:] + seq[:first_x]
+        cur_start = seq[0][1][0]
+        cur_pts = [seq[0][1][1]]
+        for kind, payload in seq[1:]:
+            if kind == "v":
+                cur_pts.append(verts[payload])
+            else:
+                node, x = payload
+                cur_pts.append(x)
+                runs.append((cur_start, node, np.array(cur_pts)))
+                cur_start = node
+                cur_pts = [x]
+        cur_pts.append(seq[0][1][1])
+        runs.append((cur_start, seq[0][1][0], np.array(cur_pts)))
+    return runs, uncrossed
+
+
+def region_boolean(a_loops, b_loops, op: str):
+    """Boolean combination of two XOR-nested multi-loop regions
+    (S2Polygon-pair S2BooleanOperation): each side is a list of CCW loops
+    whose containment composes by XOR (holes at odd nesting depth).
+    Returns result loops under the same XOR convention.
+
+    Assumes loops within one side are disjoint/nested (valid polygon);
+    general position across sides (degeneracies raise, as loop_boolean)."""
+    a_loops = [np.asarray(l, dtype=np.float64) for l in a_loops]
+    b_loops = [np.asarray(l, dtype=np.float64) for l in b_loops]
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(op)
+    lp_a = [lps.PreparedLoop(l) for l in a_loops]
+    lp_b = [lps.PreparedLoop(l) for l in b_loops]
+
+    def in_region(preps, pts):
+        inside = np.zeros(pts.shape[0], dtype=bool)
+        for lp in preps:
+            inside ^= lp._contains_points_semi_open(pts)
+        return inside
+
+    crossings = _region_crossings(a_loops, b_loops)
+
+    def depths(loops_list, preps):
+        out = []
+        for li, l in enumerate(loops_list):
+            d = sum(
+                1
+                for lj, lp in enumerate(preps)
+                if lj != li and bool(lp._contains_points_semi_open(l[:1])[0])
+            )
+            out.append(d)
+        return out
+
+    depth_a = depths(a_loops, lp_a)
+    depth_b = depths(b_loops, lp_b)
+
+    def rev(run):
+        return (run[1], run[0], run[2][::-1])
+
+    def oriented_runs(loops_list, depth, side):
+        # XOR convention stores every loop CCW; the region's BOUNDARY
+        # orientation (region on the left) traverses odd-depth loops
+        # (holes) clockwise — reverse their runs before stitching
+        runs, free = _region_runs(loops_list, crossings, side=side)
+        out = []
+        for r in runs:
+            li_of_run = r[0][0] if side == 0 else r[0][2]
+            out.append(rev(r) if depth[li_of_run] % 2 == 1 else r)
+        return out, free
+
+    runs_a, free_a = oriented_runs(a_loops, depth_a, 0)
+    runs_b, free_b = oriented_runs(b_loops, depth_b, 1)
+
+    a_inside = [bool(in_region(lp_b, _run_probe(r[2])[None, :])[0]) for r in runs_a]
+    b_inside = [bool(in_region(lp_a, _run_probe(r[2])[None, :])[0]) for r in runs_b]
+
+    if op == "intersection":
+        kept_a = [r for r, ins in zip(runs_a, a_inside) if ins]
+        kept_b = [r for r, ins in zip(runs_b, b_inside) if ins]
+    elif op == "union":
+        kept_a = [r for r, ins in zip(runs_a, a_inside) if not ins]
+        kept_b = [r for r, ins in zip(runs_b, b_inside) if not ins]
+    else:
+        kept_a = [r for r, ins in zip(runs_a, a_inside) if not ins]
+        kept_b = [rev(r) for r, ins in zip(runs_b, b_inside) if ins]
+    result = _stitch(kept_a, kept_b) if (kept_a or kept_b) else []
+
+    # crossing-free loops pass through whole when their boundary bounds
+    # the result region (XOR semantics: a loop's presence toggles
+    # membership on its inside, so include it iff the result differs
+    # across it — equivalently iff points just inside it are in the
+    # result XOR points just outside it are; for valid nestings this
+    # reduces to the classic conditions below)
+    for li in free_a:
+        v0 = a_loops[li][0]
+        # a point "just inside" along the boundary: use loop containment
+        inside_b = bool(in_region(lp_b, v0[None, :])[0])
+        if op == "intersection" and inside_b:
+            result.append(a_loops[li])
+        elif op == "union" and not inside_b:
+            result.append(a_loops[li])
+        elif op == "difference" and not inside_b:
+            result.append(a_loops[li])
+    for li in free_b:
+        v0 = b_loops[li][0]
+        inside_a = bool(in_region(lp_a, v0[None, :])[0])
+        if op == "intersection" and inside_a:
+            result.append(b_loops[li])
+        elif op == "union" and inside_a is False:
+            # b-loop outside A contributes to the union only if it is
+            # actually part of B's boundary outside A
+            result.append(b_loops[li])
+        elif op == "difference" and inside_a:
+            result.append(b_loops[li])
+    # normalize output rings to CCW (XOR nesting convention): stitched
+    # result holes come out clockwise (boundary orientation)
+    from . import measures as m
+
+    result = [
+        l[::-1] if m.loop_area(l) > 2.0 * np.pi else l for l in result
+    ]
+    return result

@@ -26,10 +26,10 @@ def boolean_join(
     b_id: str = "b_id",
     pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """a_polys/b_polys: (id, loops array<array<double>>) single-loop rows
-    (multi-loop XOR composition happens in result semantics). Returns
+    """a_polys/b_polys: (id, loops array<array<double>>) rows — one or
+    more XOR-nested CCW loops per polygon (holes at odd depth). Returns
     (a_id, b_id, n_loops, area, loops array<array<double>>) — result
-    loops under XOR nesting (booleanop.region_* helpers)."""
+    loops under the same XOR nesting (booleanop.region_* helpers)."""
     if pairs is None:
         pairs = a_polys.select(F.col("polygon_id").alias(a_id)).crossJoin(
             b_polys.select(F.col("polygon_id").alias(b_id))
@@ -54,9 +54,15 @@ def boolean_join(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                av = np.asarray(r["a_loops"][0], dtype=np.float64).reshape(-1, 3)
-                bv = np.asarray(r["b_loops"][0], dtype=np.float64).reshape(-1, 3)
-                res = bo.loop_boolean(av, bv, op)
+                av = [
+                    np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                    for l in r["a_loops"]
+                ]
+                bv = [
+                    np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                    for l in r["b_loops"]
+                ]
+                res = bo.region_boolean(av, bv, op)
                 rows.append(
                     {
                         a_id: r[a_id],

@@ -169,3 +169,56 @@ class TestSnapRounding:
         sa = bo.snap_round_loop(A, 10)
         sb = bo.snap_round_loop(B, 10)
         assert bo.loop_is_simple(sa) and bo.loop_is_simple(sb)
+
+
+class TestRegionBoolean:
+    """Multi-loop XOR-region booleans: annulus vs crossing disk,
+    island-in-hole, two-sided holes — exact point-sampled consistency."""
+
+    def _reg(self, loops_list, v):
+        inside = np.zeros(v.shape[0], dtype=bool)
+        for l in loops_list:
+            inside ^= lps.PreparedLoop(l).contains_points(v)
+        return inside
+
+    def test_annulus_cases(self):
+        shell = lps.make_regular_loop(0.0, 0.0, 20.0, 96)
+        hole = lps.make_regular_loop(0.0, 0.0, 8.0, 96)
+        B = lps.make_regular_loop(0.0, 14.0, 9.0, 96)
+        v = RNG.normal(size=(8000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        inA = self._reg([shell, hole], v)
+        inB = self._reg([B], v)
+        for op, want in [
+            ("intersection", inA & inB),
+            ("union", inA | inB),
+            ("difference", inA & ~inB),
+        ]:
+            res = bo.region_boolean([shell, hole], [B], op)
+            assert (bo.region_contains_points(res, v) == want).all(), op
+
+    def test_island_in_hole_and_two_sided(self):
+        shell = lps.make_regular_loop(0.0, 0.0, 20.0, 96)
+        hole = lps.make_regular_loop(0.0, 0.0, 8.0, 96)
+        C = lps.make_regular_loop(0.0, 0.0, 3.0, 64)
+        b_shell = lps.make_regular_loop(5.0, 25.0, 12.0, 96)
+        b_hole = lps.make_regular_loop(5.0, 25.0, 4.0, 96)
+        A1 = lps.make_regular_loop(0.0, 14.0, 10.0, 96)
+        v = RNG.normal(size=(8000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        inA = self._reg([shell, hole], v)
+        inC = self._reg([C], v)
+        inA1 = self._reg([A1], v)
+        inB2 = self._reg([b_shell, b_hole], v)
+        cases = [
+            ([shell, hole], [C], inA, inC),
+            ([A1], [b_shell, b_hole], inA1, inB2),
+        ]
+        for a_l, b_l, ia, ib in cases:
+            for op, want in [
+                ("intersection", ia & ib),
+                ("union", ia | ib),
+                ("difference", ia & ~ib),
+            ]:
+                res = bo.region_boolean(a_l, b_l, op)
+                assert (bo.region_contains_points(res, v) == want).all(), op
