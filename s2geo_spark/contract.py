@@ -1093,6 +1093,11 @@ SELECT event_type, rank, event_id FROM (
 # --- embeddings --------------------------------------------------------------
 
 def q_embedding_topk(spark, sf_dir):
+    """Exact cosine top-k for a small query set. The plan's
+    BroadcastNestedLoopJoin is INTENTIONAL (the only one in the contract):
+    10 query vectors broadcast against the vector table is the correct
+    exact-scan shape — each vector row scores against all queries
+    map-side, one pass, no shuffle. The sub-linear path is ann.ivf_topk."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
