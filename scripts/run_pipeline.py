@@ -60,20 +60,20 @@ def main() -> None:
     else:
         pages_path = args.pages
 
-    cov_df, prepared = spatial.prepare_polygons(spark, fx.pip_loops())
+    # shape-indexed flagship path: distributed polygon prep (no driver
+    # loop), JVM quad-key scan side, clipped-edge residual
+    index_df = spatial.build_index_df(
+        spatial.polygons_to_df(spark, fx.pip_loops())
+    ).persist()
+    index_df.count()
 
     def load(key: str):
         return spark.read.parquet(f"{pages_path}/{key}")
 
     def process(df):
         geo = pages_src.extract_geo(df).filter(F.col("lat").isNotNull())
-        pts = geo.select(
-            F.col("url").alias("point_id"),
-            "lat",
-            "lon",
-            sf.s2_cell_id("lat", "lon").alias("cell"),
-        )
-        joined = spatial.contains_join(pts, cov_df, prepared)
+        pts = geo.select(F.col("url").alias("point_id"), "lat", "lon")
+        joined = spatial.contains_join_indexed(pts, index_df, emit_cell=True)
         return joined.withColumn(
             "tile", sf.tile_assign("cell", args.tile_level)
         ).select(
