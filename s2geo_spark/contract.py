@@ -990,6 +990,40 @@ FROM documents GROUP BY lang
 """
 
 
+_BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def q_tokens_bpe(spark, sf_dir):
+    """BPE-ish regex tokenization (word pieces + standalone punctuation —
+    the pre-tokenizer shape BPE vocabularies train on): per-language total
+    and distinct token counts. Spark regexp_extract_all and DuckDB
+    regexp_extract_all produce identical token streams (verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("total_bpe_tokens"),
+        F.countDistinct("tok").alias("distinct_bpe_tokens"),
+    )
+
+
+def o_tokens_bpe():
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_bpe_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS distinct_bpe_tokens
+FROM toks GROUP BY lang
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
@@ -1425,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_token_counts": q_token_counts,
+        "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
         "events_windowed": q_event_windows,
         "events_sessionize": q_sessionize,
@@ -1461,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": o_lang_id(),
         "text_quality": o_quality(),
         "text_token_counts": o_token_counts(),
+        "text_tokens_bpe": o_tokens_bpe(),
         "text_fingerprint": o_fingerprint(),
         "events_windowed": o_event_windows(),
         "events_sessionize": o_sessionize(),
