@@ -276,3 +276,63 @@ class TestStatefulSessionize:
                 ).all(), c
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestBucketing:
+    def test_colocated_join_no_shuffle(self, spark):
+        """Two tables bucketed on the same cell ancestor join with ZERO
+        shuffle exchanges — the write-time layout replaces the runtime
+        repartition (the 100TB co-located-join design)."""
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from s2geo_spark import functions as sfn
+        from s2geo_spark.plans import bucketing
+
+        rng = np.random.default_rng(44)
+        n = 5000
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(n, dtype=np.int64),
+                "lat": rng.uniform(-60, 60, n),
+                "lon": rng.uniform(-180, 180, n),
+            }
+        )
+        a = spark.createDataFrame(pdf).withColumn(
+            "cell", sfn.s2_cell_id("lat", "lon")
+        ).select("point_id", "cell")
+        b = spark.createDataFrame(pdf.sample(frac=0.5, random_state=1)).withColumn(
+            "cell", sfn.s2_cell_id("lat", "lon")
+        ).select(F.col("point_id").alias("other_id"), "cell")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+        bcol = bucketing.write_cell_bucketed(a, "bt_a", level=6, n_buckets=8)
+        bucketing.write_cell_bucketed(b, "bt_b", level=6, n_buckets=8)
+        joined = bucketing.colocated_join(spark, "bt_a", "bt_b", bcol)
+        # disable broadcast so the co-located sort-merge path is chosen
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            shuffles = re.findall(r"Exchange hashpartitioning", plan)
+            assert not shuffles, plan[:1500]
+            assert "SortMergeJoin" in plan
+            # result parity with a plain (shuffling) join
+            got = joined.count()
+            want = (
+                a.withColumn(bcol, sfn.s2_parent("cell", 6))
+                .join(
+                    b.withColumn(bcol, sfn.s2_parent("cell", 6)).withColumnRenamed(
+                        "cell", "cell_b"
+                    ),
+                    bcol,
+                )
+                .count()
+            )
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bt_a")
+            spark.sql("DROP TABLE IF EXISTS bt_b")
