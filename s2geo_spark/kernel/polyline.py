@@ -166,3 +166,57 @@ def buffer_loop(vertices: np.ndarray, radius_rad: float,
     grown = cellunion.expand_by_radius(cov, radius_rad)
     # union_boundary_loops denormalizes mixed-level unions internally
     return rastervec.union_boundary_loops(grown)
+
+
+def clip_polyline_to_loop(vertices: np.ndarray, loop_verts: np.ndarray):
+    """Split a polyline at its crossings with a loop and keep the INSIDE
+    chains (S2CrossingEdgeQuery + clipping use; route-vs-boundary).
+
+    Returns list of (m, 3) chains lying inside the loop (SEMI_OPEN
+    membership for the non-crossing parts; crossing points computed with
+    edges.get_intersection). General position (polyline vertices not on
+    the boundary; degenerate touches raise via the exact predicates)."""
+    from . import loops as lps
+
+    v = np.asarray(vertices, dtype=np.float64)
+    lp = lps.PreparedLoop(np.asarray(loop_verts, dtype=np.float64))
+    c = lp.edge_c
+    d = lp.edge_d
+    n_seg = v.shape[0] - 1
+    inside_v = lp.contains_points(v)
+    chains = []
+    cur = [v[0]] if inside_v[0] else None
+    for s in range(n_seg):
+        a, b = v[s], v[s + 1]
+        sign = ek.crossing_signs_pairs(
+            np.broadcast_to(a, c.shape), np.broadcast_to(b, c.shape), c, d
+        )
+        if (sign == 0).any():
+            raise ValueError("polyline touches the loop boundary degenerately")
+        hits = np.nonzero(sign == 1)[0]
+        if len(hits):
+            pts = ek.get_intersection(
+                np.broadcast_to(a, (len(hits), 3)),
+                np.broadcast_to(b, (len(hits), 3)),
+                c[hits],
+                d[hits],
+            )
+            order = np.argsort([float(np.arctan2(
+                np.linalg.norm(np.cross(a, x)), float(a @ x))) for x in pts])
+            pts = pts[order]
+        else:
+            pts = np.empty((0, 3))
+        state = cur is not None
+        for x in pts:
+            if state:
+                cur.append(x)
+                chains.append(np.array(cur))
+                cur = None
+            else:
+                cur = [x]
+            state = not state
+        if state:
+            cur.append(v[s + 1])
+    if cur is not None and len(cur) >= 2:
+        chains.append(np.array(cur))
+    return chains

@@ -222,3 +222,45 @@ class TestRegionBoolean:
             ]:
                 res = bo.region_boolean(a_l, b_l, op)
                 assert (bo.region_contains_points(res, v) == want).all(), op
+
+
+class TestPolylineClip:
+    def test_through_cap(self):
+        loop = lps.make_regular_loop(0.0, 0.0, 10.0, 64)
+        t = np.linspace(-20, 20, 41)
+        x, y, z = sc.latlng_degrees_to_xyz(t * 0.8, t)
+        v = np.stack([x, y, z], 1)
+        chains = pl.clip_polyline_to_loop(v, loop)
+        assert len(chains) == 1
+        lp = lps.PreparedLoop(loop)
+        for ch in chains:
+            mids = ch[:-1] + ch[1:]
+            mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+            assert lp.contains_points(mids).all()
+        # clipped length ~ the chord across the 10-deg cap along this path
+        length = sum(
+            np.degrees(
+                np.arccos(np.clip((ch[:-1] * ch[1:]).sum(1), -1, 1))
+            ).sum()
+            for ch in chains
+        )
+        assert 15.0 < length < 26.0
+
+    def test_outside_and_inside(self):
+        loop = lps.make_regular_loop(0.0, 0.0, 10.0, 64)
+        t = np.linspace(-20, 20, 11)
+        x, y, z = sc.latlng_degrees_to_xyz(t * 0 + 40.0, t)
+        assert pl.clip_polyline_to_loop(np.stack([x, y, z], 1), loop) == []
+        t3 = np.linspace(-4, 4, 9)
+        x3, y3, z3 = sc.latlng_degrees_to_xyz(t3 * 0, t3)
+        ch = pl.clip_polyline_to_loop(np.stack([x3, y3, z3], 1), loop)
+        assert len(ch) == 1 and len(ch[0]) == 9
+
+    def test_multi_entry(self):
+        # a zigzag crossing the cap boundary twice each way: 2 chains
+        loop = lps.make_regular_loop(0.0, 0.0, 6.0, 64)
+        lats = np.array([12.0, 0.0, 12.0, 0.0, 12.0])
+        lons = np.array([-12.0, -5.0, 0.0, 5.0, 12.0])
+        x, y, z = sc.latlng_degrees_to_xyz(lats, lons)
+        chains = pl.clip_polyline_to_loop(np.stack([x, y, z], 1), loop)
+        assert len(chains) == 2
