@@ -59,7 +59,9 @@ def _pages_n(sf: float) -> int:
     override = os.environ.get("SPARK_GRAFT_PAGES_N")
     if override:
         return int(override)
-    return max(4_000, int(4_000_000 * sf))  # 400k at sf0.1
+    # 1.6M at sf0.1: large enough that fixed stage overheads (~2s) stop
+    # dominating and pages_per_sec reflects steady-state throughput
+    return max(4_000, int(16_000_000 * sf))
 
 
 def make_spark(cpus: int):

@@ -842,12 +842,19 @@ def q_jaccard_pairs(spark, sf_dir):
     # per-pair expansion is map-side; the one unavoidable shuffle is the
     # expanded (doc_b, g) rows into the second hash join (work scales with
     # sum over pairs of |shingles(doc_a)| — the LSH-bounded quantity)
+    # Both joins stay map-side: the pair table (1e5 rows) and the shingle
+    # table (1e6 int64 rows, ~30MB) broadcast, so the 5e7-row per-pair
+    # expansion is probed where it is produced and ONLY the partial-agg
+    # output (<= |pairs| rows after map-side combine) ever shuffles.
     pairs = F.broadcast(pairs.distinct())
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     inter = (
         pairs.join(sa, "doc_a")
-        .join(sb, (F.col("gb") == F.col("ga")) & (sb["doc_b"] == pairs["doc_b"]))
+        .join(
+            F.broadcast(sb),
+            (F.col("gb") == F.col("ga")) & (sb["doc_b"] == pairs["doc_b"]),
+        )
         .groupBy(pairs["doc_a"], pairs["doc_b"])
         .agg(F.count("*").alias("n_inter"))
     )
