@@ -163,6 +163,7 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     n_pages = _pages_n(sf)
+    pages_table(spark, n_pages)  # materialize outside the timer (docstring)
     if n_pages > 4_000:
         pages_pipeline(spark, 4_000)  # warmup (codegen + worker forks)
     t0 = time.perf_counter()

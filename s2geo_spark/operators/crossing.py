@@ -103,21 +103,61 @@ def crossing_join(
         a_cells, b_cells, a_id="a_id_", b_id="b_id_", min_level=0, max_level=16
     )
 
-    a_pts = a_edges.select(
+    def with_mid(df, pfx):
+        e = df.withColumns(_xyz("lat1", "lon1", "x1", "y1", "z1"))
+        e = e.withColumns(_xyz("lat2", "lon2", "x2", "y2", "z2"))
+        sx = F.col("x1") + F.col("x2")
+        sy = F.col("y1") + F.col("y2")
+        sz = F.col("z1") + F.col("z2")
+        nrm = F.sqrt(sx * sx + sy * sy + sz * sz)
+        chord2 = (
+            (F.col("x1") - F.col("x2")) ** 2
+            + (F.col("y1") - F.col("y2")) ** 2
+            + (F.col("z1") - F.col("z2")) ** 2
+        )
+        # farthest Euclidean distance from the normalized arc midpoint to a
+        # point of the arc = |mid - endpoint| = 2*sin(theta/4), derived
+        # from chord = 2*sin(theta/2) without trig calls
+        cos_half = F.sqrt(F.greatest(F.lit(0.0), 1.0 - chord2 / 4.0))
+        radius = 2.0 * F.sqrt(F.greatest(F.lit(0.0), (1.0 - cos_half) / 2.0))
+        return e.withColumns(
+            {
+                f"{pfx}mx": sx / nrm,
+                f"{pfx}my": sy / nrm,
+                f"{pfx}mz": sz / nrm,
+                f"{pfx}r": radius,
+            }
+        ).drop("x1", "y1", "z1", "x2", "y2", "z2")
+
+    a_pts = with_mid(a_edges, "a").select(
         F.col(a_id).alias("a_id_"),
         F.col("lat1").alias("a_lat1"),
         F.col("lon1").alias("a_lon1"),
         F.col("lat2").alias("a_lat2"),
         F.col("lon2").alias("a_lon2"),
+        "amx", "amy", "amz", "ar",
     )
-    b_pts = b_edges.select(
+    b_pts = with_mid(b_edges, "b").select(
         F.col(b_id).alias("b_id_"),
         F.col("lat1").alias("b_lat1"),
         F.col("lon1").alias("b_lon1"),
         F.col("lat2").alias("b_lat2"),
         F.col("lon2").alias("b_lon2"),
+        "bmx", "bmy", "bmz", "br",
     )
     pairs = cand.join(a_pts, "a_id_").join(b_pts, "b_id_")
+    # exact conservative JVM prefilter before the Python 4-det residual: a
+    # crossing point lies on both arcs, so by the Euclidean triangle
+    # inequality |mA - mB| <= rA + rB is NECESSARY for a crossing; the
+    # ring-covering candidates over-include by ~an order of magnitude
+    mid_d2 = (
+        (F.col("amx") - F.col("bmx")) ** 2
+        + (F.col("amy") - F.col("bmy")) ** 2
+        + (F.col("amz") - F.col("bmz")) ** 2
+    )
+    pairs = pairs.filter(
+        mid_d2 <= (F.col("ar") + F.col("br")) * (F.col("ar") + F.col("br"))
+    ).drop("amx", "amy", "amz", "ar", "bmx", "bmy", "bmz", "br")
 
     cols = ["a_id_", "b_id_", "sign"] + (
         ["ix", "iy", "iz"] if emit_points else []
