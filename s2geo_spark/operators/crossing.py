@@ -27,10 +27,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import ArrayType, LongType
+
 from s2geo_spark import functions as sf
 from s2geo_spark.kernel import metrics
 from s2geo_spark.operators.cellset import set_intersections
-from s2geo_spark.operators.knn import _ring_cells
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _edge_rings_udf(lat: pd.Series, lon: pd.Series, level: pd.Series) -> pd.Series:
+    """lat/lon + per-row level -> ancestor ring (cell + 8 neighbors) in ONE
+    Arrow round trip (encode + parent + AppendAllNeighbors fused)."""
+    from s2geo_spark.kernel import cellid_v1 as v1
+
+    leaf = v1.from_latlng(lat.to_numpy(), lon.to_numpy())
+    lv = level.to_numpy(dtype=np.int64)
+    out = [None] * len(leaf)
+    for L in np.unique(lv):
+        rows = np.nonzero(lv == L)[0]
+        anc = v1.parent(leaf[rows], int(L))
+        if L == 0:
+            faces = [int(np.int64(np.uint64((2 * f + 1) << 60))) for f in range(6)]
+            for r in rows:
+                out[r] = faces  # sphere-covering terminal ring
+            continue
+        rings = v1.append_all_neighbors(anc, int(L))
+        full = np.concatenate([anc[:, None], rings], axis=1).view(np.int64)
+        for pos, r in enumerate(rows):
+            out[r] = full[pos].tolist()
+    return pd.Series(out)
 
 
 def _xyz(lat, lon, px, py, pz):
@@ -74,11 +99,12 @@ def edge_ring_cells(
     ok_finer = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -(lvl + 1))) >= angle
     lvl = F.when(ok_finer, lvl + 1).otherwise(lvl)
     lvl = F.greatest(F.least(lvl, F.lit(max_level)), F.lit(0)).cast("int")
-    cell = sf.s2_cell_id(lat1, lon1)
-    ring = e.withColumn("c0", cell).withColumn("lvl", lvl)
+    ring = e.withColumn("lvl", lvl)
     return ring.select(
         edge_id,
-        F.explode(F.array_distinct(_ring_cells("c0", "lvl"))).alias("cell"),
+        F.explode(
+            F.array_distinct(_edge_rings_udf(F.col(lat1), F.col(lon1), F.col("lvl")))
+        ).alias("cell"),
     )
 
 
