@@ -288,3 +288,68 @@ class LatLngRect:
         )
         d2 = ((corners - mid[None, :]) ** 2).sum(axis=1).max()
         return Cap(mid, float(d2)).cell_union_bound()
+
+
+class RegionUnion:
+    """Union-of-regions adapter for the coverer (S2RegionUnion,
+    src/s2/s2region_union.cc): predicates compose as any()."""
+
+    def __init__(self, regions_list):
+        self.regions = list(regions_list)
+
+    def contains_points(self, px, py, pz):
+        out = np.zeros(np.asarray(px).shape[0], dtype=bool)
+        for r in self.regions:
+            out |= r.contains_points(px, py, pz)
+        return out
+
+    def may_intersect_cells(self, cell_ids):
+        out = np.zeros(np.asarray(cell_ids).shape[0], dtype=bool)
+        for r in self.regions:
+            out |= r.may_intersect_cells(cell_ids)
+        return out
+
+    def contains_cells(self, cell_ids):
+        out = np.zeros(np.asarray(cell_ids).shape[0], dtype=bool)
+        for r in self.regions:
+            out |= r.contains_cells(cell_ids)
+        return out
+
+    def cell_union_bound(self):
+        from . import cellunion
+
+        seeds = np.concatenate([r.cell_union_bound() for r in self.regions])
+        return cellunion.normalize(seeds)
+
+
+class RegionIntersection:
+    """Intersection-of-regions adapter (S2RegionIntersection,
+    src/s2/s2region_intersection.cc): may-intersect composes as all()
+    (conservative), contains as all()."""
+
+    def __init__(self, regions_list):
+        self.regions = list(regions_list)
+
+    def contains_points(self, px, py, pz):
+        out = np.ones(np.asarray(px).shape[0], dtype=bool)
+        for r in self.regions:
+            out &= r.contains_points(px, py, pz)
+        return out
+
+    def may_intersect_cells(self, cell_ids):
+        out = np.ones(np.asarray(cell_ids).shape[0], dtype=bool)
+        for r in self.regions:
+            out &= r.may_intersect_cells(cell_ids)
+        return out
+
+    def contains_cells(self, cell_ids):
+        out = np.ones(np.asarray(cell_ids).shape[0], dtype=bool)
+        for r in self.regions:
+            out &= r.contains_cells(cell_ids)
+        return out
+
+    def cell_union_bound(self):
+        # bound of any single member bounds the intersection; pick the
+        # smallest seed set
+        bounds = [r.cell_union_bound() for r in self.regions]
+        return min(bounds, key=lambda b: len(b))

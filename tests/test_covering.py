@@ -169,3 +169,43 @@ class TestCellUnionDifference:
         assert len(cellunion.difference(a, a)) == 0
         empty = np.array([], dtype=np.uint64)
         assert (cellunion.difference(a, empty) == cellunion.normalize(a)).all()
+
+
+from s2geo_spark.kernel import s2coords as sc  # noqa: E402
+
+
+class TestCompositeRegions:
+    def test_union_region_covering_covers_both(self):
+        from s2geo_spark.kernel import coverer, regions
+
+        a = regions.Cap.from_latlng_radius_degrees(40, -70, 2.0)
+        b = regions.Cap.from_latlng_radius_degrees(-30, 100, 3.0)
+        u = regions.RegionUnion([a, b])
+        cov = coverer.get_covering(u, max_cells=16)
+        rng = np.random.default_rng(3)
+        for cap, clat, clon in ((a, 40, -70), (b, -30, 100)):
+            la = clat + rng.uniform(-3.5, 3.5, 2000)
+            lo = clon + rng.uniform(-4, 4, 2000)
+            x, y, z = sc.latlng_degrees_to_xyz(la, lo)
+            inside = cap.contains_points(x, y, z)
+            leaf = v1.from_latlng(la, lo)
+            from s2geo_spark.kernel import cellunion
+
+            covered = cellunion.contains_id(np.asarray(cov), leaf)
+            assert not (inside & ~covered).any()
+
+    def test_intersection_region_covering(self):
+        from s2geo_spark.kernel import cellunion, coverer, regions
+
+        a = regions.Cap.from_latlng_radius_degrees(0, 0, 10.0)
+        b = regions.Cap.from_latlng_radius_degrees(0, 12, 10.0)
+        inter = regions.RegionIntersection([a, b])
+        cov = coverer.get_covering(inter, max_cells=24)
+        rng = np.random.default_rng(4)
+        la = rng.uniform(-12, 12, 4000)
+        lo = rng.uniform(-12, 24, 4000)
+        x, y, z = sc.latlng_degrees_to_xyz(la, lo)
+        inside = a.contains_points(x, y, z) & b.contains_points(x, y, z)
+        leaf = v1.from_latlng(la, lo)
+        covered = cellunion.contains_id(np.asarray(cov), leaf)
+        assert not (inside & ~covered).any()
