@@ -472,6 +472,45 @@ def q_knn(spark, sf_dir):
     )
 
 
+def q_furthest(spark, sf_dir):
+    """k FURTHEST neighbors (S2FurthestPointQuery semantics): the
+    antipode reduction reuses the density-tiered kNN verbatim
+    (knn.furthest_join); oracle = exhaustive scan ordered descending."""
+    queries = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("long").alias("query_id"),
+            geo.lat_col(F.col("n_nationkey") * 31 + 7).alias("lat"),
+            geo.lon_col(F.col("n_nationkey") * 31 + 7).alias("lon"),
+        )
+    )
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    return knn_op.furthest_join(queries, pts, k=fx.KNN_K).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("point_id").alias("neighbor_id"),
+    )
+
+
+def o_furthest():
+    return f"""
+WITH q0 AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+            CAST(n_nationkey AS BIGINT)*31 + 7 AS qk FROM nation),
+q AS (SELECT query_id, {geo.lat_sql('qk')} AS lat, {geo.lon_sql('qk')} AS lon FROM q0),
+qxyz AS (SELECT query_id, {_XYZ_SQL} FROM q),
+p0 AS ({geo.points_sql('customer', 'c_custkey')}),
+pxyz AS (SELECT point_id, {_XYZ_SQL} FROM p0),
+d AS (SELECT query_id, point_id,
+        (qxyz.x-pxyz.x)*(qxyz.x-pxyz.x) + (qxyz.y-pxyz.y)*(qxyz.y-pxyz.y)
+      + (qxyz.z-pxyz.z)*(qxyz.z-pxyz.z) AS dist2
+      FROM qxyz CROSS JOIN pxyz),
+r AS (SELECT query_id, point_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY dist2 DESC, point_id) AS rank
+      FROM d)
+SELECT query_id, rank, point_id AS neighbor_id FROM r WHERE rank <= {fx.KNN_K}
+"""
+
+
 def o_knn():
     return f"""
 WITH q0 AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
@@ -1455,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_boolean_counts": q_boolean_counts,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
+        "s2_furthest": q_furthest,
         "s2_distance_join": q_distance_join,
         "h3_tile_counts": q_h3_counts,
         "dedup_simhash8": q_simhash8,
@@ -1492,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_boolean_counts": o_boolean_counts(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
+        "s2_furthest": o_furthest(),
         "s2_distance_join": o_distance_join(),
         "h3_tile_counts": o_h3_counts(),
         "dedup_simhash8": o_simhash8(),
