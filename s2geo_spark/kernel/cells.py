@@ -195,3 +195,41 @@ def expanded_by_distance_uv(cell_id, distance_rad: float):
     # plane radius^2 of the farthest corner = mu^2 + mv^2 <= 2*max^2
     pad = np.sin(distance_rad) * (1.0 + 2.0 * m2)
     return f, u_lo - pad, u_hi + pad, v_lo - pad, v_hi + pad
+
+
+def exact_area(cell_id) -> np.ndarray:
+    """Per-cell exact (Girard) area from the 4 float vertices
+    (S2Cell::ExactArea, s2cell.cc:347-355)."""
+    from . import measures as m
+
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    verts = vertices(cell_id)
+    t1 = m.triangle_area(verts[:, 0], verts[:, 1], verts[:, 2])
+    t2 = m.triangle_area(verts[:, 0], verts[:, 2], verts[:, 3])
+    return t1 + t2
+
+
+def average_area(level) -> np.ndarray:
+    """Exact average area of cells at a level (S2Cell::AverageArea,
+    s2cell.cc:330-333: the kAvgArea metric is exact by construction)."""
+    from . import metrics
+
+    return metrics.metric_value(metrics.AVG_AREA_DERIV, level, dim=2)
+
+
+def approx_area(cell_id) -> np.ndarray:
+    """Quadrilateral approximation of the cell area (S2Cell::ApproxArea,
+    s2cell.cc:335-345): levels 0-1 fall back to the exact average; finer
+    cells use the flat quadrilateral area (half the diagonal cross
+    product) with the spherical-excess correction
+    2 / (1 + sqrt(1 - min(flat/pi, 1))). Within ~3% of exact (tested)."""
+    from . import cellid_v1 as v1
+
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    verts = vertices(cell_id)
+    d1 = verts[:, 2] - verts[:, 0]
+    d2 = verts[:, 3] - verts[:, 1]
+    flat = 0.5 * np.linalg.norm(np.cross(d1, d2), axis=1)
+    corr = 2.0 / (1.0 + np.sqrt(1.0 - np.minimum(flat / np.pi, 1.0)))
+    lv = v1.level(cell_id)
+    return np.where(lv < 2, average_area(lv), flat * corr)

@@ -211,15 +211,11 @@ def average_based_area(ids: np.ndarray) -> float:
 
 
 def exact_area(ids: np.ndarray) -> float:
-    """Sum of the cells' exact (Girard) areas from their 4 float vertices
+    """Sum of the cells' exact (Girard) areas
     (S2CellUnion::ExactArea / S2Cell::ExactArea, s2cell_union.cc:503-509)."""
     from . import cells as cl
-    from . import measures as m
 
     ids = np.asarray(ids, dtype=np.uint64)
     if ids.size == 0:
         return 0.0
-    verts = cl.vertices(ids)  # (n, 4, 3)
-    t1 = m.triangle_area(verts[:, 0], verts[:, 1], verts[:, 2])
-    t2 = m.triangle_area(verts[:, 0], verts[:, 2], verts[:, 3])
-    return float((t1 + t2).sum())
+    return float(cl.exact_area(ids).sum())

@@ -228,3 +228,25 @@ class TestRegionApiAdditions:
         assert d[0] == 0.0
         assert abs(d[1] - 5.0) < 1e-12
         assert abs(d[2] - 10.0 * np.cos(np.radians(15.0))) < 1e-9
+
+
+class TestCellAreaTrio:
+    def test_exact_sums_to_sphere(self):
+        faces = np.array([(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64)
+        assert abs(cl.exact_area(faces).sum() - 4 * math.pi) < 1e-9
+
+    def test_approx_within_3pct(self):
+        for lvl in (2, 3, 6, 12, 20):
+            cells = np.unique(
+                v1.parent(
+                    v1.from_latlng(RNG.uniform(-80, 80, 300), RNG.uniform(-180, 180, 300)),
+                    lvl,
+                )
+            )
+            rel = np.abs(cl.approx_area(cells) / cl.exact_area(cells) - 1).max()
+            assert rel < 0.03, (lvl, rel)
+
+    def test_average_area_partition(self):
+        # 6*4^lvl cells x average area == 4*pi exactly
+        for lvl in (0, 5, 17):
+            assert abs(6 * 4**lvl * cl.average_area(lvl) - 4 * math.pi) < 1e-6
