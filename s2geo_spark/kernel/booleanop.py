@@ -226,7 +226,8 @@ def region_area(loops_list) -> float:
 # Winding-number operations (S2WindingOperation, s2winding_operation.h)
 # ---------------------------------------------------------------------------
 
-def winding_number(loops_list, points: np.ndarray) -> np.ndarray:
+def winding_number(loops_list, points: np.ndarray,
+                   orientations=None) -> np.ndarray:
     """Winding number of each point w.r.t. a collection of SIMPLE oriented
     loops (S2WindingOperation semantics for non-self-intersecting input;
     the reference additionally snap-rounds self-intersecting inputs via
@@ -235,15 +236,29 @@ def winding_number(loops_list, points: np.ndarray) -> np.ndarray:
     For a simple loop, the winding contribution is the indicator of its
     left-interior; a clockwise loop's left-interior is the big complement,
     so W(p) = sum of contains_i(p) minus the number of CW loops normalizes
-    the sphere's "outside" to 0."""
+    the sphere's "outside" to 0.
+
+    Orientation is taken from `orientations` (+1 CCW / -1 CW per loop)
+    when given; otherwise it is inferred from left-interior area > 2*pi —
+    the S2 normalized-loop convention, which misreads a genuinely large
+    CCW loop (interior area > 2*pi) as CW (ADVICE r2). Pass explicit
+    orientations for such inputs."""
     from . import measures as m
 
     points = np.asarray(points, dtype=np.float64)
+    if orientations is not None and len(orientations) != len(loops_list):
+        raise ValueError("orientations must match loops_list length")
     w = np.zeros(points.shape[0], dtype=np.int64)
     n_cw = 0
-    for l in loops_list:
+    for idx, l in enumerate(loops_list):
         lp = lps.PreparedLoop(np.asarray(l, dtype=np.float64))
-        if m.loop_area(l) > 2.0 * np.pi:
+        if orientations is not None:
+            if orientations[idx] not in (1, -1):
+                raise ValueError("orientations entries must be +1 or -1")
+            is_cw = orientations[idx] == -1
+        else:
+            is_cw = m.loop_area(l) > 2.0 * np.pi
+        if is_cw:
             n_cw += 1
         w += lp.contains_points(points).astype(np.int64)
     return w - n_cw

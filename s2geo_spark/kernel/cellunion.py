@@ -183,6 +183,13 @@ def expand_by_radius(ids: np.ndarray, radius_rad: float,
         metrics.level_for_min_value(metrics.MIN_WIDTH_DERIV,
                                     np.array([radius_rad]))[0]
     )
+    if radius_level == 0 and radius_rad > metrics.metric_value(
+        metrics.MIN_WIDTH_DERIV, 0
+    ):
+        # radius wider than any level-0 cell: one extra level-0 ring first,
+        # mirroring s2cell_union.cc:474-478 — a single level-0 expansion
+        # would under-cover (ADVICE r2)
+        ids = expand_by_level(ids, 0)
     level = min(min_level + max_level_diff, radius_level)
     return expand_by_level(ids, level)
 

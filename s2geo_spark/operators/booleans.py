@@ -18,6 +18,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def region_covering_df(
+    polys: DataFrame,
+    out_id: str,
+    id_col: str = "polygon_id",
+    max_cells: int = 8,
+    min_level: int = 4,
+    max_level: int = 16,
+) -> DataFrame:
+    """(polygon_id, loops) -> (out_id, cell) covering relation, computed
+    distributed (applyInPandas per polygon). The union of per-loop
+    coverings covers the XOR-nested region (the outer loop's covering
+    alone already does; holes only shrink it), so it is a valid candidate
+    filter for pair enumeration."""
+
+    def per(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import cellunion, coverer
+        from s2geo_spark.kernel import loops as lps
+
+        rows = []
+        for _, r in pdf.iterrows():
+            covs = []
+            for l in r["loops"]:
+                lp = lps.PreparedLoop(
+                    np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                )
+                covs.append(
+                    coverer.get_covering(
+                        lp,
+                        max_cells=max_cells,
+                        min_level=min_level,
+                        max_level=max_level,
+                    )
+                )
+            cells = cellunion.normalize(
+                np.concatenate(covs).astype(np.uint64)
+            ).view(np.int64)
+            rows.extend((int(r[id_col]), int(c)) for c in cells)
+        return pd.DataFrame(rows, columns=[out_id, "cell"])
+
+    return polys.groupBy(id_col).applyInPandas(
+        per, schema=f"{out_id} long, cell long"
+    )
+
+
 def boolean_join(
     a_polys: DataFrame,
     b_polys: DataFrame,
@@ -25,17 +69,36 @@ def boolean_join(
     a_id: str = "a_id",
     b_id: str = "b_id",
     pairs: DataFrame | None = None,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """a_polys/b_polys: (id, loops array<array<double>>) rows — one or
     more XOR-nested CCW loops per polygon (holes at odd depth). Returns
     (a_id, b_id, n_loops, area, loops array<array<double>>) — result
-    loops under the same XOR nesting (booleanop.region_* helpers)."""
+    loops under the same XOR nesting (booleanop.region_* helpers).
+
+    With pairs=None the candidate set defaults to covering-intersection
+    pairs (distributed per-polygon coverings -> cellset.set_intersections
+    ancestor equi-joins — VERDICT r2 next-#5): pairs whose coverings are
+    disjoint are never enumerated, so the plan contains no
+    CartesianProduct and scales with interacting pairs, not |A| x |B|.
+    For `union`/`difference` that means disjoint pairs (whose result is
+    trivially the inputs) are OMITTED from the output; pass explicit
+    `pairs` or all_pairs=True (small layers only) if every pair's row is
+    wanted."""
     if pairs is None:
-        pairs = a_polys.select(F.col("polygon_id").alias(a_id)).crossJoin(
-            b_polys.select(F.col("polygon_id").alias(b_id))
-        )
-        # candidate restriction is the caller's job for big layers; the
-        # default exists for small fixture layers only.
+        if all_pairs:
+            pairs = a_polys.select(F.col("polygon_id").alias(a_id)).crossJoin(
+                b_polys.select(F.col("polygon_id").alias(b_id))
+            )
+        else:
+            from s2geo_spark.operators import cellset
+
+            pairs = cellset.set_intersections(
+                region_covering_df(a_polys, a_id),
+                region_covering_df(b_polys, b_id),
+                a_id,
+                b_id,
+            )
     a = a_polys.select(
         F.col("polygon_id").alias(a_id), F.col("loops").alias("a_loops")
     )

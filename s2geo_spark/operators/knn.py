@@ -145,6 +145,7 @@ def knn_join(
     n_rounds = -(-max_level // 2) + 1  # schedule reaches level 0 last round
 
     results = []
+    cached = [p]  # every .cache() this loop takes is unpersisted on exit
     remaining = q
     for r in range(n_rounds):
         # static per-round level set: tier levels shifted down 2r, floor 0
@@ -174,6 +175,7 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         ).cache()  # feeds both the resolution agg and the result rows
+        cached.append(topk)
         # per-level resolution bound as a column expression
         bound = F.lit(_safe_chord2(active_levels[-1]))
         for L in active_levels[:-1]:
@@ -185,10 +187,15 @@ def knn_join(
             (F.col("lvl") <= 0)
             | ((F.col("n_cand") == k) & (F.col("kth_dist2") <= bound))
         ).select(query_id)
+        # eager localCheckpoint truncates lineage so the round caches can
+        # be dropped before return (VERDICT r2 #8: a long session must not
+        # accumulate cached round blocks). Resolved rows are tiny (<= k per
+        # resolved query); on a real cluster the trade is executor-storage
+        # volatility vs unbounded cache growth — growth loses.
         results.append(
-            topk.join(F.broadcast(resolved_ids), query_id, "leftsemi").select(
-                query_id, point_id, "rank", "dist2"
-            )
+            topk.join(F.broadcast(resolved_ids), query_id, "leftsemi")
+            .select(query_id, point_id, "rank", "dist2")
+            .localCheckpoint(eager=True)
         )
         if r == n_rounds - 1:
             break
@@ -197,12 +204,15 @@ def knn_join(
             .withColumn("lvl", F.greatest(F.col("lvl") - 2, F.lit(0)))
             .cache()
         )
+        cached.append(remaining)
         if remaining.isEmpty():
             break
 
     out = results[0]
     for res in results[1:]:
         out = out.unionByName(res)
+    for df in cached:
+        df.unpersist()
     return out
 
 
@@ -282,6 +292,7 @@ def closest_cell_join(
         )
 
     results = []
+    cached = [c]  # unpersisted on exit (VERDICT r2 #8)
     remaining = q.withColumn("ring_lvl", F.lit(max(levels)).cast("int"))
     n_rounds = -(-max(levels) // 2) + 1
     for r in range(n_rounds):
@@ -324,6 +335,7 @@ def closest_cell_join(
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         ).cache()
+        cached.append(topk)
         lvl_now = lvl_round
         bound = F.lit(_safe_chord2(lvl_now))
         per_query = topk.groupBy(query_id).agg(
@@ -333,9 +345,11 @@ def closest_cell_join(
             (F.lit(lvl_now) <= 0) | ((F.col("n_cand") == k) & (F.col("kth") <= bound))
         ).select(query_id)
         results.append(
-            topk.join(F.broadcast(resolved), query_id, "leftsemi").select(
+            topk.join(F.broadcast(resolved), query_id, "leftsemi")
+            .select(
                 query_id, cell_label, F.col("tcell").alias("cell"), "rank", "dist2"
             )
+            .localCheckpoint(eager=True)
         )
         if r == n_rounds - 1:
             break
@@ -344,9 +358,12 @@ def closest_cell_join(
             .withColumn("ring_lvl", F.greatest(F.col("ring_lvl") - 2, F.lit(0)))
             .cache()
         )
+        cached.append(remaining)
         if remaining.isEmpty():
             break
     out = results[0]
     for res in results[1:]:
         out = out.unionByName(res)
+    for df in cached:
+        df.unpersist()
     return out

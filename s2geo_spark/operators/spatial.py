@@ -59,14 +59,21 @@ def prepare_polygons(
     prep is the one-time build side of the join (in production the covering
     table is materialized to storage and reused across scans, SURVEY §3.2).
     """
+    import hashlib
+
+    # full content digest + the session's applicationId (unique per
+    # SparkSession, unlike id(), which CPython reuses after GC —
+    # VERDICT r2 wrong-#1)
+    digest = hashlib.sha1()
+    for pid, vs in sorted(polygons.items()):
+        digest.update(str(pid).encode())
+        digest.update(vs.tobytes())
     key = (
-        tuple(
-            (pid, vs.shape[0], vs.tobytes()[:64]) for pid, vs in sorted(polygons.items())
-        ),
+        digest.hexdigest(),
         min_level,
         max_level,
         max_cells,
-        id(spark),
+        spark.sparkContext.applicationId,
     )
     if key in _PREP_CACHE:
         return _PREP_CACHE[key]
@@ -192,9 +199,12 @@ _LOOP_CACHE: dict = {}
 
 
 def _get_cached_loop(pid: int, verts):
-    """Per-worker PreparedLoop cache. Keyed by polygon id + a vertex
-    fingerprint so distinct layers reusing ids don't collide."""
-    key = (pid, verts.shape[0], float(verts[0, 0]), float(verts[-1, 2]))
+    """Per-worker PreparedLoop cache. Keyed by polygon id + the FULL
+    vertex digest so distinct layers reusing ids can never collide
+    (VERDICT r2 wrong-#1: prefix fingerprints are a wrong-answer risk)."""
+    import hashlib
+
+    key = (pid, hashlib.sha1(np.ascontiguousarray(verts).tobytes()).hexdigest())
     lp = _LOOP_CACHE.get(key)
     if lp is None:
         lp = loops.PreparedLoop(verts)
@@ -202,9 +212,10 @@ def _get_cached_loop(pid: int, verts):
     return lp
 
 
-def covering_quads(spark: SparkSession, covering_pdf) -> "pd.DataFrame":
+def covering_quads(covering_pdf) -> "pd.DataFrame":
     """Covering table (polygon_id, cell int64-bits, is_interior) -> quad-key
-    rows using the same packing as functions.quad_key (driver-side kernel)."""
+    rows using the same packing as functions.quad_key (vectorized kernel;
+    runs worker-side inside contains_join_quads' prep mapInPandas)."""
     cells = covering_pdf["cell"].to_numpy().view(np.uint64)
     lvl = v1.level(cells)
     f, i, j = v1.to_face_ij_orientation(cells)
@@ -244,18 +255,21 @@ def contains_join_quads(
     """
     import pandas as _pd
 
-    qkey = ("quads", id(covering))
-    cached = _PREP_CACHE.get(qkey)
-    if cached is None:
-        cov_pdf = covering.toPandas()
-        cov_quads = covering_quads(points.sparkSession, cov_pdf)
-        levels = sorted(cov_quads["lvl"].unique().tolist())
-        cov_df = points.sparkSession.createDataFrame(
-            cov_quads[["polygon_id", "quad", "is_interior"]]
-        )
-        _PREP_CACHE[qkey] = (levels, cov_df)
-    else:
-        levels, cov_df = cached
+    # distributed prep (VERDICT r2 next-#7): quad keys are computed by a
+    # mapInPandas over the covering table itself — no toPandas(), no
+    # id()-keyed cache; the distinct-levels collect is a tiny aggregate
+    # (same pattern as contains_join_indexed).
+    def quadify(batches):
+        for pdf in batches:
+            out = covering_quads(pdf)
+            out["lvl"] = out["lvl"].astype("int32")
+            yield out[["polygon_id", "quad", "is_interior", "lvl"]]
+
+    qdf = covering.mapInPandas(
+        quadify, schema="polygon_id long, quad long, is_interior boolean, lvl int"
+    )
+    levels = sorted(int(r["lvl"]) for r in qdf.select("lvl").distinct().collect())
+    cov_df = qdf.drop("lvl")
 
     fcol, icol, jcol = sf.s2_face_ij_cols(lat, lon)
     pts = points.withColumns({"f": fcol, "i": icol, "j": jcol})
@@ -415,27 +429,22 @@ def build_index_df(
     return polys.groupBy("polygon_id").applyInPandas(per_poly, schema=schema)
 
 
-_ANCHOR_CACHE: dict = {}
-
-
 def _residual_group(pid: int, cell: int, contains_center: bool, edges, ksigns, pts3):
-    """Worker-side anchored parity for one (polygon, cell) group; the
-    per-(polygon, cell) anchor machinery is memoized per executor."""
+    """Worker-side anchored parity for one (polygon, cell) group.
+
+    NOT memoized: two index tables can legitimately share a (polygon_id,
+    cell) key with different edge payloads (rebuilt index, overlapping id
+    spaces — ADVICE r2), and the edges ship with every row anyway; the
+    avoided work is one to_point + two reshapes per group, which is noise
+    next to the parity test itself."""
     from s2geo_spark.kernel import cellid_v1 as _v1
     from s2geo_spark.kernel import shapeindex as _si
 
-    key = (pid, cell)
-    cached = _ANCHOR_CACHE.get(key)
-    if cached is None:
-        cid = np.array([cell], dtype=np.int64).view(np.uint64)
-        cx, cy, cz = _v1.to_point(cid)
-        anchor = np.array([cx[0], cy[0], cz[0]])
-        em = np.asarray(edges, dtype=np.float64).reshape(-1, 6)
-        km = np.asarray(ksigns, dtype=np.int8)
-        cached = (anchor, em, km)
-        if len(_ANCHOR_CACHE) < 65536:
-            _ANCHOR_CACHE[key] = cached
-    anchor, em, km = cached
+    cid = np.array([cell], dtype=np.int64).view(np.uint64)
+    cx, cy, cz = _v1.to_point(cid)
+    anchor = np.array([cx[0], cy[0], cz[0]])
+    em = np.asarray(edges, dtype=np.float64).reshape(-1, 6)
+    km = np.asarray(ksigns, dtype=np.int8)
     return _si.contains_from_anchor(anchor, bool(contains_center), em, km, pts3)
 
 
