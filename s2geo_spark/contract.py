@@ -362,6 +362,97 @@ xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
 """
 
 
+_DEGEN_INDEX_CACHE: dict = {}
+
+
+def _degen_layer_index(spark):
+    """Polygon layer = boolean results of the DEGENERATE fixture pairs
+    (shared border / partial collinear overlap) through the distributed
+    boolean_join — which routes them to the exact boundary-graph overlay
+    (kernel/overlay.py, the reference's S2Builder + snap-rounding role).
+    polygon_id = pair_id * 4 + op_index; empty results (measure-zero
+    intersections) contribute no polygon."""
+    key = spark.sparkContext.applicationId
+    cached = _DEGEN_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from s2geo_spark.operators import booleans
+
+    layer = {}
+    for op_idx, op in enumerate(fx.BOOL_OPS):
+        a_rows, b_rows = [], []
+        for pid in fx.DEGEN_PAIRS:
+            av, bv = fx.degen_pair_loops(pid)
+            a_rows.append((pid, [av.ravel().tolist()]))
+            b_rows.append((pid, [bv.ravel().tolist()]))
+        schema = "polygon_id long, loops array<array<double>>"
+        a_df = spark.createDataFrame(a_rows, schema)
+        b_df = spark.createDataFrame(b_rows, schema)
+        pairs = spark.createDataFrame(
+            [(pid, pid) for pid in fx.DEGEN_PAIRS], "a_id long, b_id long"
+        )
+        res = booleans.boolean_join(a_df, b_df, op, pairs=pairs).collect()
+        for r in res:
+            if r["n_loops"] == 0:
+                continue  # e.g. intersection of border-sharing quads
+            loop_list = [
+                np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                for l in r["loops"]
+            ]
+            layer[int(r["a_id"]) * 4 + op_idx] = loop_list
+    polys = spatial.polygons_to_df(spark, layer)
+    idx = spatial.build_index_df(polys).persist()
+    idx.count()
+    _DEGEN_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_boolean_degenerate(spark, sf_dir):
+    """Boolean ops on DEGENERATE inputs end-to-end (VERDICT r2 next-#1):
+    two quads sharing a full border edge (the admin-boundary case) and two
+    quads overlapping along a partial collinear equator run are combined
+    via boolean_join (kernel overlay path: exact shared-vertex /
+    vertex-on-edge resolution), the result loops become a polygon layer,
+    and points are counted inside each result through the shape-indexed
+    PIP join. The oracle re-derives every count from half-space logic."""
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    joined = spatial.contains_join_indexed(pts, _degen_layer_index(spark))
+    return (
+        joined.withColumn("pair_id", (F.col("polygon_id") / 4).cast("long"))
+        .withColumn("op", F.col("polygon_id") % 4)
+        .groupBy("pair_id", "op")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_boolean_degenerate():
+    parts = []
+    for pid in fx.DEGEN_PAIRS:
+        na, nb = fx.degen_pair_edge_normals(pid)
+        in_a = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)" for w in na
+        )
+        in_b = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)" for w in nb
+        )
+        for op_idx, cond in [
+            (0, f"({in_a}) AND ({in_b})"),
+            (1, f"({in_a}) OR ({in_b})"),
+            (2, f"({in_a}) AND NOT ({in_b})"),
+        ]:
+            parts.append(
+                f"SELECT CAST({pid} AS BIGINT) AS pair_id, "
+                f"CAST({op_idx} AS BIGINT) AS op, count(*) AS cnt "
+                f"FROM xyz WHERE {cond} HAVING count(*) > 0"
+            )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH pts AS ({geo.points_sql('orders', 'o_orderkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
+{union}
+"""
+
+
 def q_edge_crossings(spark, sf_dir):
     """Edge-crossing join (S2CrossingEdgeQuery + GetIntersection,
     s2crossing_edge_query.cc:389 / s2edge_crossings.cc:360): which
@@ -1502,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_large": q_pip_large,
         "s2_edge_crossings": q_edge_crossings,
         "s2_boolean_counts": q_boolean_counts,
+        "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
@@ -1540,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_large": o_pip_large(),
         "s2_edge_crossings": o_edge_crossings(),
         "s2_boolean_counts": o_boolean_counts(),
+        "s2_boolean_degenerate": o_boolean_degenerate(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
         "s2_furthest": o_furthest(),

@@ -108,3 +108,29 @@ def bool_pair_edge_normals(pair_id: int):
         w = np.cross(vs, d)
         out.append([tuple(float(c) for c in row) for row in w])
     return out
+
+
+# --- DEGENERATE quad pairs for the snap/overlay boolean query --------------
+# pair 0: full shared border on the lng=-10 meridian — the admin-boundary
+#         case (both layers carry the border with bitwise-equal vertices);
+# pair 1: PARTIAL collinear overlap on the equator (z = sin(0.0) = 0.0 is
+#         exact in the lat/lng -> xyz conversion, so the vertex-on-edge
+#         incidences are exact and kernel/overlay.py resolves them exactly).
+DEGEN_PAIRS = {
+    0: ("10:-40, 10:-10, 35:-10, 35:-40", "10:-10, 10:20, 35:20, 35:-10"),
+    1: ("-25:60, -25:85, 0:85, 0:60", "0:70, 0:95, 20:95, 20:70"),
+}
+
+
+def degen_pair_loops(pair_id: int):
+    a_txt, b_txt = DEGEN_PAIRS[pair_id]
+    return loops.parse_loop_text(a_txt), loops.parse_loop_text(b_txt)
+
+
+def degen_pair_edge_normals(pair_id: int):
+    out = []
+    for vs in degen_pair_loops(pair_id):
+        d = np.roll(vs, -1, axis=0)
+        w = np.cross(vs, d)
+        out.append([tuple(float(c) for c in row) for row in w])
+    return out

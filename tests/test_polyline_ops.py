@@ -157,15 +157,18 @@ class TestSnapRounding:
         bowtie = lps.parse_loop_text("0:0, 10:10, 0:10, 10:0")
         assert not bo.loop_is_simple(bowtie)
 
-    def test_degenerate_pair_snaps_apart_or_raises(self):
-        # loops sharing a vertex fail boolean ops; snapping to a coarse
-        # grid either separates or collapses them deterministically
+    def test_degenerate_pair_resolves_exactly(self):
+        # loops sharing a border edge used to raise (round 2); they now
+        # route to the exact boundary-graph overlay (kernel/overlay.py)
         A = lps.parse_loop_text("0:0, 0:10, 10:10, 10:0")
         B = lps.parse_loop_text("0:10, 0:20, 10:20, 10:10")
-        import pytest as _pytest
+        from s2geo_spark.kernel import measures as _m
 
-        with _pytest.raises(ValueError):
-            bo.loop_boolean(A, B, "union")
+        u = bo.loop_boolean(A, B, "union")
+        assert len(u) == 1
+        assert abs(
+            bo.region_area(u) - _m.loop_area(A) - _m.loop_area(B)
+        ) < 1e-12
         sa = bo.snap_round_loop(A, 10)
         sb = bo.snap_round_loop(B, 10)
         assert bo.loop_is_simple(sa) and bo.loop_is_simple(sb)
