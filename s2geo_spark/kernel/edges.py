@@ -157,24 +157,95 @@ def crossing_signs_pairs(a, b, c, d) -> np.ndarray:
     return out
 
 
+def _get_intersection_exact(a, b, c, d, ref) -> np.ndarray:
+    """Exact-arithmetic GetIntersection for one nearly-parallel pair
+    (s2edge_crossings.cc:360-420 kUseExact leg of the cascade): both edge
+    normals AND their cross product evaluated in rational arithmetic from
+    the float64 inputs, scaled exactly, then rounded ONCE to float64 —
+    direction error <= a few ulps (the reference's kIntersectionError
+    bound), regardless of how parallel the edges are."""
+    from fractions import Fraction as Fr
+
+    def fcross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    fa = tuple(Fr(float(t)) for t in a)
+    fb = tuple(Fr(float(t)) for t in b)
+    fc = tuple(Fr(float(t)) for t in c)
+    fd = tuple(Fr(float(t)) for t in d)
+    n1 = fcross(fa, fb)
+    n2 = fcross(fc, fd)
+    x = fcross(n1, n2)
+    m = max(abs(t) for t in x)
+    if m == 0:
+        # exactly collinear normals: the edges lie on one great circle —
+        # callers pre-filter with crossing_signs_pairs, so this is
+        # unreachable for proper crossings; return the a-edge midpoint
+        mid = np.asarray(a, dtype=np.float64) + np.asarray(b, dtype=np.float64)
+        return mid / np.linalg.norm(mid)
+    xs = np.array([float(t / m) for t in x], dtype=np.float64)
+    xs /= np.linalg.norm(xs)
+    # exact orientation toward the edges' hemisphere
+    fr = tuple(Fr(float(t)) for t in ref)
+    dot = x[0] * fr[0] + x[1] * fr[1] + x[2] * fr[2]
+    if dot < 0:
+        xs = -xs
+    return xs
+
+
+# the reference's intersection-accuracy contract (kIntersectionError,
+# s2edge_crossings.h): every returned point is within this angle of the
+# true intersection of the two great circles.
+INTERSECTION_ERROR = 2e-15
+_LD_EPS = float(np.finfo(np.longdouble).eps)
+
+
 def get_intersection(a, b, c, d) -> np.ndarray:
     """Intersection points of properly-crossing edge pairs
-    (S2::GetIntersection, s2edge_crossings.cc:360-420 simple method): the
-    unit vector along cross(cross(a,b), cross(c,d)), signed into the
-    hemisphere of both edge midpoints. Callers must pre-filter with
-    crossing_signs_pairs > 0; accuracy is the float cross-product method
-    (the reference adds long-double/exact fallbacks for nearly-parallel
-    edges, documented as out of scope in COVERAGE.md)."""
+    (S2::GetIntersection, s2edge_crossings.cc:360-420): the unit vector
+    along cross(cross(a,b), cross(c,d)), signed into the hemisphere of
+    both edge midpoints. Callers must pre-filter with
+    crossing_signs_pairs > 0.
+
+    Mirrors the reference's precision CASCADE (VERDICT r2 next-#6):
+    vectorized 80-bit extended precision (np.longdouble — the reference's
+    long-double leg) with a rigorous per-row forward-error bound; rows
+    whose bound exceeds INTERSECTION_ERROR recompute in exact rational
+    arithmetic. Every output therefore satisfies the reference's
+    kIntersectionError contract, however parallel the edges."""
     a = np.atleast_2d(np.asarray(a, dtype=np.float64))
     b = np.atleast_2d(np.asarray(b, dtype=np.float64))
     c = np.atleast_2d(np.asarray(c, dtype=np.float64))
     d = np.atleast_2d(np.asarray(d, dtype=np.float64))
-    x = np.cross(np.cross(a, b), np.cross(c, d))
-    nrm = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.maximum(nrm, 1e-300)
+    al = a.astype(np.longdouble)
+    bl = b.astype(np.longdouble)
+    cl = c.astype(np.longdouble)
+    dl = d.astype(np.longdouble)
+    n1 = np.cross(al, bl)
+    n2 = np.cross(cl, dl)
+    x = np.cross(n1, n2)
+    nrm = np.sqrt((x * x).sum(1, keepdims=True))
+    xs = (x / np.maximum(nrm, np.longdouble(1e-300))).astype(np.float64)
     # orient towards both edges' midpoints (crossing edges lie in one
     # hemisphere of the intersection axis)
     ref = (a + b) + (c + d)
-    flip = (x * ref).sum(1) < 0
-    x[flip] = -x[flip]
-    return x
+    flip = (xs * ref).sum(1) < 0
+    xs[flip] = -xs[flip]
+    # forward error of the extended-precision direction: each cross picks
+    # up <= 2 eps_ld of its operand magnitudes; |x| in the denominator
+    # turns that into a direction error (standard |u x v| perturbation)
+    nn1 = np.sqrt((n1 * n1).sum(1)).astype(np.float64)
+    nn2 = np.sqrt((n2 * n2).sum(1)).astype(np.float64)
+    err = (
+        8.0
+        * _LD_EPS
+        * (nn1 + nn2 + nn1 * nn2)
+        / np.maximum(nrm[:, 0].astype(np.float64), 1e-300)
+    )
+    for r in np.nonzero(err > INTERSECTION_ERROR)[0]:
+        xs[r] = _get_intersection_exact(a[r], b[r], c[r], d[r], ref[r])
+    return xs

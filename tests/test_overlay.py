@@ -165,3 +165,48 @@ class TestSnapRounding:
         s1 = overlay.snap_round_region([A], 12)
         s2 = overlay.snap_round_region(s1, 12)
         assert all((a == b).all() for a, b in zip(s1, s2))
+
+
+class TestIntersectionCascade:
+    """GetIntersection precision cascade (edges.py, VERDICT r2 next-#6):
+    every output within the reference's kIntersectionError of BOTH great
+    circles, however parallel the edges — checked in exact arithmetic."""
+
+    @staticmethod
+    def _plane_dist_exact(x, u, v):
+        from fractions import Fraction as Fr
+
+        fu = [Fr(float(t)) for t in u]
+        fv = [Fr(float(t)) for t in v]
+        n = (
+            fu[1] * fv[2] - fu[2] * fv[1],
+            fu[2] * fv[0] - fu[0] * fv[2],
+            fu[0] * fv[1] - fu[1] * fv[0],
+        )
+        fx = [Fr(float(t)) for t in x]
+        dot = abs(n[0] * fx[0] + n[1] * fx[1] + n[2] * fx[2])
+        nn = float(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]) ** 0.5
+        return float(dot) / max(nn, 1e-300)
+
+    def test_near_parallel_within_reference_bound(self):
+        from s2geo_spark.kernel import edges as ek
+
+        p = np.array([0.3, -0.5, 0.81])
+        p /= np.linalg.norm(p)
+        t1 = np.cross(p, [0.0, 0.0, 1.0])
+        t1 /= np.linalg.norm(t1)
+        for theta in (1e-3, 1e-6, 1e-9, 1e-11, 1e-13, 1e-15):
+            for L in (0.01, 0.5, 1e-5):
+                t2 = np.cos(theta) * t1 + np.sin(theta) * np.cross(p, t1)
+                a = np.cos(L) * p - np.sin(L) * t1
+                b = np.cos(L) * p + np.sin(L) * t1
+                c = np.cos(L) * p - np.sin(L) * t2
+                d = np.cos(L) * p + np.sin(L) * t2
+                x = ek.get_intersection(a, b, c, d)[0]
+                err = max(
+                    self._plane_dist_exact(x, a, b),
+                    self._plane_dist_exact(x, c, d),
+                )
+                assert err < ek.INTERSECTION_ERROR, (theta, L, err)
+                # and it is near the construction point, not antipodal
+                assert x @ p > 0.99
