@@ -168,6 +168,185 @@ def buffer_loop(vertices: np.ndarray, radius_rad: float,
     return rastervec.union_boundary_loops(grown)
 
 
+def buffer_loop_exact(vertices: np.ndarray, radius_rad: float,
+                      max_error: float = 1e-6) -> list[np.ndarray]:
+    """Offset-curve buffer (S2BufferOperation, s2buffer_operation.cc:771
+    semantics): every boundary point moves exactly `radius_rad` outward
+    along the surface normal of its edge, with ROUND JOINS (arcs of the
+    vertex cap) between consecutive edges — tessellated so the emitted
+    polyline stays within `max_error` radians of the true offset curve,
+    which is the reference's arc-tolerance model.
+
+    radius_rad > 0 grows the region, < 0 shrinks it. Returns the buffered
+    region as a list of CCW loops ([] when shrinking annihilates it). When
+    the raw offset curve self-intersects (|radius| beyond the concave
+    feature size), the positive-radius path falls back to the conservative
+    grid buffer (buffer_loop) and the negative path raises — resolving
+    those requires the winding machinery on self-intersecting input,
+    documented out of scope in COVERAGE.md."""
+    from . import loops as lps
+    from . import measures as m
+    from .booleanop import clean_chain, loop_is_simple
+    from .predicates import sign as _sign
+
+    v = np.asarray(vertices, dtype=np.float64)
+    n = v.shape[0]
+    r = abs(float(radius_rad))
+    if r == 0.0:
+        return [v.copy()]
+    outward = radius_rad > 0
+    cr, sr = np.cos(r), np.sin(r)
+    s_off = -sr if outward else sr  # q . axis = s_off on the offset curve
+    # step so the sampled chord stays within max_error of the arc
+    # (sagitta <= step^2/8 for a unit-radius circle — conservative)
+    step = np.sqrt(8.0 * max_error)
+    nxt = np.roll(v, -1, axis=0)
+    axes = np.cross(v, nxt)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)  # interior side
+
+    def offset(p, ax):
+        q = cr * p + s_off * ax
+        return q / np.linalg.norm(q)
+
+    def offset_interior(ax, q0, q1):
+        """Interior samples of the OFFSET SMALL CIRCLE (q . ax = s_off)
+        from q0 to q1, azimuth increasing around ax (the edge's travel
+        direction). Sampling the great circle between the endpoint offsets
+        instead would sag off the true offset by ~edge_angle^2*tan(r)/8,
+        far beyond max_error for long edges."""
+        e1 = q0 - float(q0 @ ax) * ax
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(ax, e1)
+        phi1 = float(np.arctan2(q1 @ e2, q1 @ e1))
+        if phi1 < 0:
+            phi1 += 2.0 * np.pi
+        k = int(np.ceil(phi1 / step))
+        out = []
+        for t in range(1, k):
+            phi = phi1 * t / k
+            q = s_off * ax + cr * (np.cos(phi) * e1 + np.sin(phi) * e2)
+            out.append(q / np.linalg.norm(q))
+        return out
+
+    def join_arc(w, ax1, ax2):
+        """Round-join samples: points of the radius-r circle around w,
+        swept by rotating the offset normal from ax1 to ax2 within w's
+        normal plane (NOT the geodesic between the endpoints, which cuts
+        the vertex cap at sharp turns). Includes the final endpoint."""
+        ang = np.arccos(float(np.clip(ax1 @ ax2, -1.0, 1.0)))
+        if ang < 1e-12:
+            return []
+        # the swept curve is a small circle of 3D radius sin(r); INTERIOR
+        # samples only — the neighboring edges supply the endpoints (a
+        # re-normalized duplicate endpoint differs by 1 ulp and poisons
+        # the turn-angle area sum downstream)
+        k = max(1, int(np.ceil(ang / (step / max(sr, 1e-300) ** 0.5))))
+        out = []
+        sin_ang = np.sin(ang)
+        for t in range(1, k):
+            s = t / k
+            mt = (np.sin((1 - s) * ang) * ax1 + np.sin(s * ang) * ax2) / sin_ang
+            mt /= np.linalg.norm(mt)
+            q = cr * w + s_off * mt
+            out.append(q / np.linalg.norm(q))
+        return out
+
+    def offset_arc_intersection(ax1, ax2, near):
+        """Intersection of the two offset small circles q.ax1 = q.ax2 =
+        s_off nearest to `near` (the trim point at an opposite-turn
+        vertex). None when the circles miss."""
+        g = float(ax1 @ ax2)
+        denom = 1.0 + g
+        if abs(denom) < 1e-14:
+            return None
+        alpha = s_off / denom
+        cx = np.cross(ax1, ax2)
+        c2 = float(cx @ cx)
+        if c2 < 1e-28:
+            return None
+        base = alpha * (ax1 + ax2)
+        g2 = 1.0 - float(base @ base)
+        if g2 < 0.0:
+            return None
+        gamma = np.sqrt(g2 / c2)
+        q1, q2 = base + gamma * cx, base - gamma * cx
+        return q1 if float(q1 @ near) >= float(q2 @ near) else q2
+
+    def azimuth(q, ax, start):
+        """Angle of q around ax measured from `start` (both ~on the
+        offset circle); in (-pi, pi]."""
+        e1 = start - float(start @ ax) * ax
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(ax, e1)
+        return float(np.arctan2(q @ e2, q @ e1))
+
+    from .predicates import sign as _sign
+
+    # per-vertex decision: round join vs trim at the offset intersection.
+    # Outward buffers join at CONVEX (left) turns and trim at reflex ones;
+    # inward buffers are the mirror image.
+    joins = [None] * n   # samples inserted after edge i
+    end_clip = [None] * n    # replacement for edge i's offset end
+    start_clip = [None] * n  # replacement for edge i's offset start
+    for i in range(n):
+        j = (i + 1) % n
+        u, w, x = v[i], nxt[i], nxt[j]
+        turn = _sign(tuple(u), tuple(w), tuple(x))
+        if turn == 0:
+            continue
+        wants_join = (turn > 0) if outward else (turn < 0)
+        if wants_join:
+            joins[i] = (w, axes[i], axes[j])
+        else:
+            xv = offset_arc_intersection(axes[i], axes[j], w)
+            if xv is None:
+                if outward:
+                    return buffer_loop(v, r)
+                raise ValueError(
+                    "inward buffer exceeds the local feature size; "
+                    "winding resolution of self-intersecting offsets is "
+                    "out of scope (COVERAGE.md)"
+                )
+            end_clip[i] = xv
+            start_clip[j] = xv
+
+    pts = []
+    for i in range(n):
+        u, w, ax = v[i], nxt[i], axes[i]
+        q0 = offset(u, ax) if start_clip[i] is None else start_clip[i]
+        q1 = offset(w, ax) if end_clip[i] is None else end_clip[i]
+        # a trim that consumed the whole edge (radius beyond the local
+        # feature size) needs the global arrangement: fall back
+        if azimuth(q1, ax, offset(u, ax)) < azimuth(q0, ax, offset(u, ax)) - 1e-15:
+            if outward:
+                return buffer_loop(v, r)
+            raise ValueError(
+                "inward buffer exceeds the local feature size; winding "
+                "resolution of self-intersecting offsets is out of scope "
+                "(COVERAGE.md)"
+            )
+        pts.append(q0)
+        pts.extend(offset_interior(ax, q0, q1))
+        pts.append(q1)
+        if joins[i] is not None:
+            pts.extend(join_arc(*joins[i]))
+    raw = clean_chain(np.asarray(pts))
+    if len(raw) < 3:
+        return []
+    if not loop_is_simple(raw):
+        if outward:
+            return buffer_loop(v, r)  # conservative grid fallback
+        raise ValueError(
+            "inward buffer self-intersects (radius beyond feature size); "
+            "winding resolution of self-intersecting offsets is out of "
+            "scope (COVERAGE.md)"
+        )
+    area = m.loop_area(raw)
+    if not outward and area > 2.0 * np.pi:
+        return []  # shrink annihilated the region (offset curve inverted)
+    return [raw]
+
+
 def clip_polyline_to_loop(vertices: np.ndarray, loop_verts: np.ndarray):
     """Split a polyline at its crossings with a loop and keep the INSIDE
     chains (S2CrossingEdgeQuery + clipping use; route-vs-boundary).

@@ -210,3 +210,68 @@ class TestIntersectionCascade:
                 assert err < ek.INTERSECTION_ERROR, (theta, L, err)
                 # and it is near the construction point, not antipodal
                 assert x @ p > 0.99
+
+
+class TestBufferExact:
+    """Offset-curve buffer (polyline.buffer_loop_exact, VERDICT r2
+    next-#9): round joins at turn vertices, small-circle edge offsets,
+    trim at opposite-turn vertices; signed radius."""
+
+    def test_cap_fixture_closed_form(self):
+        # buffer of a circle-polygon = cap of the summed radius
+        from s2geo_spark.kernel import polyline as pl
+
+        rho = np.radians(3.0)
+        loop = loops.make_regular_loop(20.0, 30.0, 3.0, 256)
+        for r_deg, sgn in ((1.0, 1), (5.0, 1), (20.0, 1), (1.0, -1), (2.5, -1)):
+            r = np.radians(r_deg)
+            res = pl.buffer_loop_exact(loop, sgn * r, max_error=1e-7)
+            a = sum(measures.loop_area(l) for l in res)
+            want = 2 * np.pi * (1 - np.cos(rho + sgn * r))
+            assert abs(a - want) / want < 1e-3, (r_deg, sgn)
+
+    def test_concave_membership_oracle(self):
+        from s2geo_spark.kernel import edges as ek
+        from s2geo_spark.kernel import polyline as pl
+
+        L = loops.parse_loop_text("0:0, 0:10, 4:10, 4:4, 10:4, 10:0")
+        lp = loops.PreparedLoop(L)
+        la = RNG.uniform(-5, 16, 15000)
+        lo = RNG.uniform(-5, 16, 15000)
+        x, y, z = sc.latlng_degrees_to_xyz(la, lo)
+        pts = np.stack([x, y, z], axis=1)
+        nxt = np.roll(L, -1, axis=0)
+        dist = 2 * np.arcsin(
+            np.sqrt(ek.point_edge_chord2(pts, L, nxt).min(axis=1)) / 2
+        )
+        inside = lp.contains_points(pts)
+        for r_deg, sgn in ((0.3, 1), (1.5, 1), (3.0, 1), (0.3, -1), (1.0, -1)):
+            r = np.radians(r_deg)
+            res = pl.buffer_loop_exact(L, sgn * r, max_error=1e-7)
+            got = np.zeros(len(pts), dtype=bool)
+            for l in res:
+                got ^= loops.PreparedLoop(l).contains_points(pts)
+            want = (inside | (dist <= r)) if sgn > 0 else (inside & (dist >= r))
+            bad = (got != want) & ~(np.abs(dist - r) < 3e-7)
+            assert bad.sum() == 0, (r_deg, sgn, int(bad.sum()))
+
+    def test_thin_surviving_shrink(self):
+        # arms are 4 deg wide: shrinking by 1.8 leaves a thin valid L
+        from s2geo_spark.kernel import polyline as pl
+
+        L = loops.parse_loop_text("0:0, 0:10, 4:10, 4:4, 10:4, 10:0")
+        res = pl.buffer_loop_exact(L, -np.radians(1.8), max_error=1e-7)
+        assert len(res) == 1
+        assert 0 < bo.region_area(res) < measures.loop_area(L)
+
+    def test_inward_annihilation_raises_or_empty(self):
+        # max inscribed radius of the L is 2 deg: shrinking by 2.5 kills
+        # the region — honest outcomes are [] or the feature-size error
+        from s2geo_spark.kernel import polyline as pl
+
+        L = loops.parse_loop_text("0:0, 0:10, 4:10, 4:4, 10:4, 10:0")
+        try:
+            res = pl.buffer_loop_exact(L, -np.radians(2.5), max_error=1e-7)
+            assert res == []
+        except ValueError as e:
+            assert "feature size" in str(e)
