@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "s2_pip_join",
     "s2_pip_large",
     "s2_boolean_counts",
+    "s2_boolean_degenerate",
     "s2_edge_crossings",
     "h3_tile_counts",
     "s2_knn",

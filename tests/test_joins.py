@@ -397,13 +397,15 @@ class TestBooleanOps:
             bo.region_area(hole) - (m.loop_area(A) - m.loop_area(inner))
         ) < 1e-12
 
-    def test_degenerate_raises(self):
+    def test_degenerate_resolves(self):
+        # round 3: shared-edge pairs route to the exact overlay instead of
+        # raising (kernel/overlay.py; full coverage in test_overlay.py)
         from s2geo_spark.kernel import booleanop as bo
 
         A = loops.parse_loop_text("0:0, 0:10, 10:10, 10:0")
         B = loops.parse_loop_text("0:10, 0:20, 10:20, 10:10")  # shares an edge
-        with pytest.raises(ValueError):
-            bo.loop_boolean(A, B, "intersection")
+        assert bo.loop_boolean(A, B, "intersection") == []
+        assert len(bo.loop_boolean(A, B, "union")) == 1
 
 
 class TestFurthestAndClosestCell:
