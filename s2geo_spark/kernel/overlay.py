@@ -505,3 +505,142 @@ def region_boolean_snapped(a_loops, b_loops, op: str, level: int):
     if not sb:
         return sa if op in ("union", "difference") else []
     return overlay_boolean(sa, sb, op)
+
+
+# ---------------------------------------------------------------------------
+# Winding operation on self-intersecting inputs (S2WindingOperation,
+# s2winding_operation.cc:560 — the snap-round-then-wind pipeline made an
+# explicit arrangement + signed ray count)
+# ---------------------------------------------------------------------------
+
+def _self_split_segments(loops_list):
+    """Split EVERY edge of one oriented loop collection at all proper
+    crossings and exact vertex-on-edge incidences (self- and cross-loop),
+    then merge coincident segments into canonical directed segments with a
+    net multiplicity. Returns [(start_key, end_key, pts(2,3), mult)] with
+    mult != 0; crossing the segment right->left raises the winding number
+    by mult."""
+    arrs = [np.asarray(l, dtype=np.float64) for l in loops_list]
+    splits2 = _collect_events(arrs, arrs)
+    merged: dict = {}
+    for (side, li, ei), evs in splits2.items():
+        merged.setdefault((li, ei), []).extend(evs)
+    splits = {(0, li, ei): evs for (li, ei), evs in merged.items()}
+    segs = _split_segments(arrs, splits, side=0)
+    canon: dict = {}
+    for s, e, pts in segs:
+        if (s, e) in canon:
+            canon[(s, e)][1] += 1
+        elif (e, s) in canon:
+            canon[(e, s)][1] -= 1
+        else:
+            canon[(s, e)] = [pts, 1]
+    return [
+        (s, e, pts, mult)
+        for (s, e), (pts, mult) in canon.items()
+        if mult != 0
+    ]
+
+
+def _winding_at(points, segments, ref_point, ref_winding):
+    """Winding number at each (off-boundary) point: signed crossings of
+    the geodesic ref_point -> p with every segment. Vectorized triage via
+    crossing_signs_pairs; exact vertex-crossing semantics on the sign-0
+    residue (the path grazing a segment endpoint)."""
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    if not segments:
+        return np.full(len(pts), ref_winding, dtype=np.int64)
+    u = np.stack([seg[2][0] for seg in segments])
+    v = np.stack([seg[2][1] for seg in segments])
+    mult = np.array([seg[3] for seg in segments], dtype=np.int64)
+    out = np.empty(len(pts), dtype=np.int64)
+    q0 = np.asarray(ref_point, dtype=np.float64)
+    for i, p in enumerate(pts):
+        sgn = ek.crossing_signs_pairs(
+            np.broadcast_to(q0, u.shape), np.broadcast_to(p, u.shape), u, v
+        )
+        w = ref_winding
+        for j in np.nonzero(sgn >= 0)[0]:
+            if sgn[j] == 0:
+                if not pred.vertex_crossing(
+                    tuple(q0), tuple(p), tuple(u[j]), tuple(v[j])
+                ):
+                    continue
+            # direction: crossing right->left of (u,v) raises W by mult
+            side_p = pred.sign(tuple(u[j]), tuple(v[j]), tuple(p))
+            w += int(mult[j]) * (1 if side_p > 0 else -1)
+        out[i] = w
+    return out
+
+
+_WINDING_RULES = {
+    "positive": lambda w: w > 0,
+    "negative": lambda w: w < 0,
+    "non_zero": lambda w: w != 0,
+    "odd": lambda w: (w & 1) == 1,
+}
+
+
+def winding_operation(loops_list, rule: str, ref_point=None,
+                      ref_winding: int = 0):
+    """Region selected by a winding rule over ARBITRARY oriented loops —
+    self-intersecting, doubly-wound, mutually crossing (S2WindingOperation
+    with its reference-point contract). Returns CCW XOR-nested loops.
+
+    ref_point (default: an auto-selected point off every boundary) must
+    carry the known winding number ref_winding — exactly the reference's
+    API (s2winding_operation.h ref_p/ref_winding)."""
+    if rule not in _WINDING_RULES:
+        raise ValueError(rule)
+    R = _WINDING_RULES[rule]
+    arrs = [np.asarray(l, dtype=np.float64) for l in loops_list]
+    if ref_point is None:
+        ref_point = _reference_point(arrs)
+    q0 = np.asarray(ref_point, dtype=np.float64)
+    segments = _self_split_segments(arrs)
+    if segments:
+        mids = np.stack([seg[2][0] + seg[2][1] for seg in segments])
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        w_mid = _winding_at(mids, segments, q0, ref_winding)
+    kept = []
+    for idx, (s, e, pts, mult) in enumerate(segments or []):
+        side_m = pred.sign(tuple(pts[0]), tuple(pts[1]), tuple(mids[idx]))
+        w_m = int(w_mid[idx])
+        w_left = w_m if side_m > 0 else w_m + mult
+        w_right = w_left - mult
+        in_l, in_r = R(w_left), R(w_right)
+        if in_l == in_r:
+            continue  # interior or exterior segment, not a boundary
+        if in_l:
+            kept.append((s, e, pts))
+        else:
+            kept.append((e, s, pts[::-1].copy()))
+    result = _stitch_general(kept) if kept else []
+    from . import measures as m
+
+    out = []
+    for l in result:
+        if len(l) < 3:
+            continue
+        area = m.loop_area(l)
+        if area > 2.0 * np.pi:
+            l = l[::-1].copy()
+            area = 4.0 * np.pi - area
+        if area <= 0.0:
+            continue
+        out.append(l)
+    # global parity against the reference point (same trick as the
+    # boolean overlay): XOR of the small-CCW loops is R's region or its
+    # complement; fix with the known winding at q0
+    want = bool(R(ref_winding))
+    got = False
+    for l in out:
+        got ^= bool(lps.PreparedLoop(l)._contains_points_semi_open(q0[None, :])[0])
+    if got != want:
+        if not out:
+            raise ValueError(
+                "full-sphere winding result is not representable in the "
+                "XOR loop convention"
+            )
+        out[0] = out[0][::-1].copy()
+    return out

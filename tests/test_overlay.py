@@ -275,3 +275,71 @@ class TestBufferExact:
             assert res == []
         except ValueError as e:
             assert "feature size" in str(e)
+
+
+class TestWindingOperation:
+    """S2WindingOperation on ARBITRARY inputs (overlay.winding_operation):
+    self-intersecting, doubly-wound, and mutually-crossing loops —
+    VERDICT r2 missing-#5 (was simple-loop-only)."""
+
+    def _member(self, res, pts):
+        m = np.zeros(len(pts), dtype=bool)
+        for l in res:
+            m ^= loops.PreparedLoop(l).contains_points(pts)
+        return m
+
+    def test_two_crossing_loops_rules(self):
+        A = loops.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        B = loops.parse_loop_text("5:5, 5:15, 15:15, 15:5")
+        pts = _pts(4000, (-10, 25), (-10, 25))
+        inA = loops.PreparedLoop(A).contains_points(pts)
+        inB = loops.PreparedLoop(B).contains_points(pts)
+        for rule, want in (
+            ("positive", inA | inB),
+            ("non_zero", inA | inB),
+            ("odd", inA ^ inB),
+        ):
+            res = overlay.winding_operation([A, B], rule)
+            assert (self._member(res, pts) == want).all(), rule
+
+    def test_doubly_wound_loop(self):
+        A = loops.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        pts = _pts(3000, (-10, 25), (-10, 25))
+        inA = loops.PreparedLoop(A).contains_points(pts)
+        res = overlay.winding_operation([A, A.copy()], "positive")
+        assert (self._member(res, pts) == inA).all()
+        assert overlay.winding_operation([A, A.copy()], "odd") == []
+
+    def test_self_intersecting_bowtie(self):
+        # independent oracle: decompose the bowtie at its crossing into
+        # two simple triangles and sum their winding contributions
+        from s2geo_spark.kernel import edges as ek
+
+        bow = loops.parse_loop_text("0:0, 10:10, 0:10, 10:0")
+        Av, Bv, Cv, Dv = bow
+        X = ek.get_intersection(Av, Bv, Cv, Dv)[0]
+        t1 = np.stack([X, Bv, Cv])
+        t2 = np.stack([X, Dv, Av])
+        pts = _pts(4000, (-10, 25), (-10, 25))
+        W = bo.winding_number([t1], pts) + bo.winding_number([t2], pts)
+        for rule, fn in (
+            ("positive", lambda w: w > 0),
+            ("negative", lambda w: w < 0),
+            ("non_zero", lambda w: w != 0),
+            ("odd", lambda w: (w & 1) == 1),
+        ):
+            res = overlay.winding_operation([bow], rule)
+            assert (self._member(res, pts) == fn(W)).all(), rule
+
+    def test_ref_point_contract(self):
+        # declaring the ref point INSIDE with winding 1 shifts every
+        # winding number: "positive" then selects the whole plane-side
+        # the rule semantics dictate
+        A = loops.parse_loop_text("0:0, 0:10, 10:10, 10:0")
+        inside = sc.latlng_degrees_to_xyz(np.array([5.0]), np.array([5.0]))
+        q = np.array([inside[0][0], inside[1][0], inside[2][0]])
+        res = overlay.winding_operation([A], "positive", ref_point=q,
+                                        ref_winding=1)
+        pts = _pts(2000, (-10, 25), (-10, 25))
+        inA = loops.PreparedLoop(A).contains_points(pts)
+        assert (self._member(res, pts) == inA).all()
