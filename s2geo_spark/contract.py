@@ -453,6 +453,81 @@ xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
 """
 
 
+_BUFFER_INDEX_CACHE: dict = {}
+
+
+def _buffer_layer_index(spark):
+    """Shape index of the BUFFERED fixture polygon: the convex 8-gon grown
+    by BUFFER_RADIUS_DEG through the distributed buffer operator
+    (operators/booleans.buffer_polygons -> kernel exact offset curves,
+    max_error 1e-8 so the tessellation band is far below the point
+    density). Cached per session."""
+    key = spark.sparkContext.applicationId
+    cached = _BUFFER_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from s2geo_spark.operators import booleans
+
+    poly = spatial.polygons_to_df(spark, {1: fx.buffer_poly_loop()})
+    buffered = booleans.buffer_polygons(
+        poly, np.radians(fx.BUFFER_RADIUS_DEG), max_error=1e-8
+    ).collect()
+    layer = {
+        int(r["polygon_id"]): [
+            np.asarray(l, dtype=np.float64).reshape(-1, 3) for l in r["loops"]
+        ]
+        for r in buffered
+    }
+    idx = spatial.build_index_df(spatial.polygons_to_df(spark, layer)).persist()
+    idx.count()
+    _BUFFER_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_buffer_contains(spark, sf_dir):
+    """S2BufferOperation end-to-end (s2buffer_operation.cc:771 /
+    VERDICT r2 next-#9): the fixture 8-gon is buffered by the exact
+    offset-curve operator, the result becomes a polygon layer, and points
+    are counted inside it through the shape-indexed PIP join. The DuckDB
+    oracle recomputes membership from first principles: inside the 8-gon
+    OR spherical point-to-edge distance <= radius (per-edge closed forms
+    on (x,y,z))."""
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    joined = spatial.contains_join_indexed(pts, _buffer_layer_index(spark))
+    return joined.groupBy("polygon_id").agg(F.count("*").alias("cnt"))
+
+
+def o_buffer_contains():
+    na = [
+        " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)"
+            for w in (np.cross(fx.buffer_poly_loop(),
+                               np.roll(fx.buffer_poly_loop(), -1, axis=0)))
+        )
+    ][0]
+    terms = fx.buffer_oracle_terms()
+    dists = []
+    for t in terms:
+        dot_n = f"({t['n'][0]!r}*x + {t['n'][1]!r}*y + {t['n'][2]!r}*z)"
+        c1 = f"({t['c1'][0]!r}*x + {t['c1'][1]!r}*y + {t['c1'][2]!r}*z)"
+        c2 = f"({t['c2'][0]!r}*x + {t['c2'][1]!r}*y + {t['c2'][2]!r}*z)"
+        du = f"acos(least(1.0, greatest(-1.0, {t['u'][0]!r}*x + {t['u'][1]!r}*y + {t['u'][2]!r}*z)))"
+        dv = f"acos(least(1.0, greatest(-1.0, {t['v'][0]!r}*x + {t['v'][1]!r}*y + {t['v'][2]!r}*z)))"
+        dists.append(
+            f"CASE WHEN {c1} > 0 AND {c2} > 0 "
+            f"THEN asin(least(1.0, abs({dot_n}) / {t['norm_n']!r})) "
+            f"ELSE least({du}, {dv}) END"
+        )
+    mind = "least(" + ", ".join(dists) + ")"
+    r = float(np.radians(fx.BUFFER_RADIUS_DEG))
+    return f"""
+WITH pts AS ({geo.points_sql('orders', 'o_orderkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
+SELECT CAST(1 AS BIGINT) AS polygon_id, count(*) AS cnt
+FROM xyz WHERE ({na}) OR {mind} <= {r!r}
+"""
+
+
 def q_edge_crossings(spark, sf_dir):
     """Edge-crossing join (S2CrossingEdgeQuery + GetIntersection,
     s2crossing_edge_query.cc:389 / s2edge_crossings.cc:360): which
@@ -1594,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_edge_crossings": q_edge_crossings,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
+        "s2_buffer_contains": q_buffer_contains,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
@@ -1633,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_edge_crossings": o_edge_crossings(),
         "s2_boolean_counts": o_boolean_counts(),
         "s2_boolean_degenerate": o_boolean_degenerate(),
+        "s2_buffer_contains": o_buffer_contains(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
         "s2_furthest": o_furthest(),

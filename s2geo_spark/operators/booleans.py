@@ -70,6 +70,7 @@ def boolean_join(
     b_id: str = "b_id",
     pairs: DataFrame | None = None,
     all_pairs: bool = False,
+    snap_level: int | None = None,
 ) -> DataFrame:
     """a_polys/b_polys: (id, loops array<array<double>>) rows — one or
     more XOR-nested CCW loops per polygon (holes at odd depth). Returns
@@ -84,7 +85,13 @@ def boolean_join(
     For `union`/`difference` that means disjoint pairs (whose result is
     trivially the inputs) are OMITTED from the output; pass explicit
     `pairs` or all_pairs=True (small layers only) if every pair's row is
-    wanted."""
+    wanted.
+
+    snap_level routes every pair through JOINT snap rounding at that cell
+    level before the boolean (overlay.region_boolean_snapped): both
+    layers' vertices snap to cell centers and edges split at the shared
+    site set, so near-coincident borders (digitized twice, jittered)
+    resolve exactly — the reference's per-op S2Builder snap function."""
     if pairs is None:
         if all_pairs:
             pairs = a_polys.select(F.col("polygon_id").alias(a_id)).crossJoin(
@@ -113,6 +120,7 @@ def boolean_join(
 
     def run(batches):
         from s2geo_spark.kernel import booleanop as bo
+        from s2geo_spark.kernel import overlay as ov
 
         for pdf in batches:
             rows = []
@@ -125,7 +133,10 @@ def boolean_join(
                     np.asarray(l, dtype=np.float64).reshape(-1, 3)
                     for l in r["b_loops"]
                 ]
-                res = bo.region_boolean(av, bv, op)
+                if snap_level is not None:
+                    res = ov.region_boolean_snapped(av, bv, op, snap_level)
+                else:
+                    res = bo.region_boolean(av, bv, op)
                 rows.append(
                     {
                         a_id: r[a_id],
@@ -141,3 +152,65 @@ def boolean_join(
             )
 
     return joined.mapInPandas(run, schema=schema)
+
+
+def buffer_polygons(
+    polys: DataFrame,
+    radius_rad: float,
+    max_error: float = 1e-7,
+    id_col: str = "polygon_id",
+) -> DataFrame:
+    """Distributed S2BufferOperation: buffer every polygon's region by a
+    signed spherical radius (kernel/polyline.buffer_loop_exact — exact
+    offset curves, round joins, trims). Shells (even XOR depth) take the
+    radius as-is; holes (odd depth) take the NEGATED radius — growing a
+    region shrinks its holes — and a hole annihilated by the shrink
+    simply vanishes. Loops must remain disjoint after buffering (merging
+    shells is the boolean overlay's job, as in the reference's builder).
+    Input (id, loops) rows like boolean_join; output (id, n_loops, area,
+    loops) under the XOR convention. Per-polygon work distributes in one
+    mapInPandas; no driver loop."""
+    schema = f"{id_col} long, n_loops int, area double, loops array<array<double>>"
+
+    def run(batches):
+        from s2geo_spark.kernel import booleanop as bo
+        from s2geo_spark.kernel import loops as lps
+        from s2geo_spark.kernel import polyline as pl
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arrs = [
+                    np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                    for l in r["loops"]
+                ]
+                preps = [lps.PreparedLoop(l) for l in arrs]
+                out_loops = []
+                for i, verts in enumerate(arrs):
+                    depth = sum(
+                        1
+                        for j, p in enumerate(preps)
+                        if j != i and bool(p.contains_points(verts[:1])[0])
+                    )
+                    radius = radius_rad if depth % 2 == 0 else -radius_rad
+                    try:
+                        out_loops.extend(
+                            pl.buffer_loop_exact(verts, radius, max_error)
+                        )
+                    except ValueError:
+                        if depth % 2 == 0:
+                            raise
+                        # hole annihilated by the shrink: drop it
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "n_loops": len(out_loops),
+                        "area": bo.region_area(out_loops) if out_loops else 0.0,
+                        "loops": [l.ravel().tolist() for l in out_loops],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_loops", "area", "loops"]
+            )
+
+    return polys.mapInPandas(run, schema=schema)

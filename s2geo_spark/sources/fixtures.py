@@ -134,3 +134,39 @@ def degen_pair_edge_normals(pair_id: int):
         w = np.cross(vs, d)
         out.append([tuple(float(c) for c in row) for row in w])
     return out
+
+
+# --- buffer-operation fixture (convex 8-gon, exact offset oracle) ----------
+BUFFER_POLY = (20.0, 30.0, 6.0, 8)   # lat, lon, radius_deg, n_vertices
+BUFFER_RADIUS_DEG = 3.0
+
+
+def buffer_poly_loop() -> np.ndarray:
+    lat, lon, rad, n = BUFFER_POLY
+    return loops.make_regular_loop(lat, lon, rad, n)
+
+
+def buffer_oracle_terms():
+    """Per-edge constants for the SQL distance oracle: point-to-edge
+    spherical distance d_i expressible as scalar arithmetic on (x,y,z):
+
+      interior foot  iff p.c1 > 0 AND p.c2 > 0   (c1 = n x u, c2 = v x n)
+      d_i = asin(|p.n| / |n|)         when interior
+          = least(acos(p.u), acos(p.v)) otherwise
+    """
+    vs = buffer_poly_loop()
+    nxt = np.roll(vs, -1, axis=0)
+    out = []
+    for u, v in zip(vs, nxt):
+        n = np.cross(u, v)
+        out.append(
+            {
+                "n": tuple(float(t) for t in n),
+                "norm_n": float(np.linalg.norm(n)),
+                "c1": tuple(float(t) for t in np.cross(n, u)),
+                "c2": tuple(float(t) for t in np.cross(v, n)),
+                "u": tuple(float(t) for t in u),
+                "v": tuple(float(t) for t in v),
+            }
+        )
+    return out

@@ -271,3 +271,57 @@ class TestQuadsDistributedPrep:
         for pid, verts in polys.items():
             want |= {(i, pid) for i in _brute_member(pdf, verts)}
         assert got == want
+
+
+class TestBufferAndSnapOperators:
+    def test_buffer_polygons_hole_negated(self, spark):
+        # growing a region SHRINKS its holes; the buffered annulus area
+        # must match the two-cap closed form
+        from s2geo_spark.operators import booleans
+        from s2geo_spark.kernel import booleanop as bo
+
+        shell = loops.make_regular_loop(0.0, 0.0, 10.0, 128)
+        hole = loops.make_regular_loop(0.0, 0.0, 4.0, 128)
+        polys = spatial.polygons_to_df(spark, {1: [shell, hole]})
+        r = np.radians(1.0)
+        res = booleans.buffer_polygons(polys, r, max_error=1e-7).collect()
+        assert len(res) == 1 and res[0]["n_loops"] == 2
+        cap = lambda t: 2 * np.pi * (1 - np.cos(t))
+        want = cap(np.radians(11.0)) - cap(np.radians(3.0))
+        assert abs(res[0]["area"] - want) / want < 1e-3
+
+    def test_buffer_polygons_hole_annihilated(self, spark):
+        from s2geo_spark.operators import booleans
+
+        shell = loops.make_regular_loop(0.0, 0.0, 10.0, 64)
+        hole = loops.make_regular_loop(0.0, 0.0, 2.0, 64)
+        polys = spatial.polygons_to_df(spark, {1: [shell, hole]})
+        res = booleans.buffer_polygons(
+            polys, np.radians(2.5), max_error=1e-6
+        ).collect()
+        assert res[0]["n_loops"] == 1  # hole gone
+
+    def test_boolean_join_snap_level(self, spark):
+        # jittered near-coincident borders resolve exactly under joint
+        # snapping (boolean_join(snap_level=...))
+        from s2geo_spark.operators import booleans
+        from s2geo_spark.kernel import measures as m
+
+        rng = np.random.default_rng(8)
+        A = loops.parse_loop_text("10:0, 10:10, 20:10, 20:0")
+        B = loops.parse_loop_text("10:10, 10:20, 20:20, 20:10")
+        jit = B + rng.normal(0, 1e-9, B.shape)
+        jit /= np.linalg.norm(jit, axis=1, keepdims=True)
+        a_df = spark.createDataFrame(
+            [(1, [A.ravel().tolist()])], "polygon_id long, loops array<array<double>>"
+        )
+        b_df = spark.createDataFrame(
+            [(2, [jit.ravel().tolist()])], "polygon_id long, loops array<array<double>>"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+        res = booleans.boolean_join(
+            a_df, b_df, "union", pairs=pairs, snap_level=14
+        ).collect()
+        assert res[0]["n_loops"] == 1
+        want = m.loop_area(A) + m.loop_area(B)
+        assert abs(res[0]["area"] - want) < 1e-4
