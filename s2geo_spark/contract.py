@@ -528,6 +528,91 @@ FROM xyz WHERE ({na}) OR {mind} <= {r!r}
 """
 
 
+_WINDING_INDEX_CACHE: dict = {}
+
+WINDING_RULES = ["positive", "odd"]
+
+
+def _winding_layer_index(spark):
+    """Polygon layer = winding regions of the crossing fixture quad pairs
+    under each rule, computed through the DISTRIBUTED winding operator
+    (operators/booleans.winding_regions -> overlay.winding_operation:
+    arrangement + signed-ray winding). For CCW crossing pairs, positive
+    selects the union, odd the symmetric difference — both re-derivable
+    from half-space logic in the oracle. polygon_id = pair*4 + rule."""
+    key = spark.sparkContext.applicationId
+    cached = _WINDING_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from s2geo_spark.operators import booleans
+
+    layer = {}
+    for rule_idx, rule in enumerate(WINDING_RULES):
+        rows = []
+        for pid in fx.BOOL_PAIRS:
+            av, bv = fx.bool_pair_loops(pid)
+            rows.append(
+                (pid, [av.ravel().tolist(), bv.ravel().tolist()])
+            )
+        df = spark.createDataFrame(
+            rows, "region_id long, loops array<array<double>>"
+        )
+        for r in booleans.winding_regions(df, rule).collect():
+            loop_list = [
+                np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                for l in r["loops"]
+            ]
+            layer[int(r["region_id"]) * 4 + rule_idx] = loop_list
+    polys = spatial.polygons_to_df(spark, layer)
+    idx = spatial.build_index_df(polys).persist()
+    idx.count()
+    _WINDING_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_winding_counts(spark, sf_dir):
+    """S2WindingOperation end-to-end (s2winding_operation.cc:560): both
+    loops of each crossing fixture pair feed ONE winding region per rule
+    (positive = union, odd = symmetric difference for CCW inputs); points
+    are counted inside each region via the shape-indexed PIP join and the
+    oracle recomputes the counts from half-space logic."""
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    joined = spatial.contains_join_indexed(pts, _winding_layer_index(spark))
+    return (
+        joined.withColumn("pair_id", (F.col("polygon_id") / 4).cast("long"))
+        .withColumn("rule", F.col("polygon_id") % 4)
+        .groupBy("pair_id", "rule")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def o_winding_counts():
+    parts = []
+    for pid in fx.BOOL_PAIRS:
+        na, nb = fx.bool_pair_edge_normals(pid)
+        in_a = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)" for w in na
+        )
+        in_b = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)" for w in nb
+        )
+        for rule_idx, cond in [
+            (0, f"({in_a}) OR ({in_b})"),
+            (1, f"(({in_a}) AND NOT ({in_b})) OR (({in_b}) AND NOT ({in_a}))"),
+        ]:
+            parts.append(
+                f"SELECT CAST({pid} AS BIGINT) AS pair_id, "
+                f"CAST({rule_idx} AS BIGINT) AS rule, count(*) AS cnt "
+                f"FROM xyz WHERE {cond} HAVING count(*) > 0"
+            )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH pts AS ({geo.points_sql('orders', 'o_orderkey')}),
+xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
+{union}
+"""
+
+
 def q_edge_crossings(spark, sf_dir):
     """Edge-crossing join (S2CrossingEdgeQuery + GetIntersection,
     s2crossing_edge_query.cc:389 / s2edge_crossings.cc:360): which
@@ -1670,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
+        "s2_winding_counts": q_winding_counts,
         "s2_rect_counts": q_rect_counts,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
@@ -1710,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_boolean_counts": o_boolean_counts(),
         "s2_boolean_degenerate": o_boolean_degenerate(),
         "s2_buffer_contains": o_buffer_contains(),
+        "s2_winding_counts": o_winding_counts(),
         "s2_rect_counts": o_rect_counts(),
         "s2_knn": o_knn(),
         "s2_furthest": o_furthest(),

@@ -214,3 +214,43 @@ def buffer_polygons(
             )
 
     return polys.mapInPandas(run, schema=schema)
+
+
+def winding_regions(
+    loops_df: DataFrame,
+    rule: str,
+    id_col: str = "region_id",
+) -> DataFrame:
+    """Distributed S2WindingOperation: every input row carries an ARBITRARY
+    oriented loop collection (self-intersecting, doubly-wound, mutually
+    crossing — array of flattened (m*3) loops); the winding region under
+    `rule` (positive/negative/non_zero/odd) comes back as XOR-nested CCW
+    loops. Per-region work distributes in one mapInPandas
+    (kernel/overlay.winding_operation, s2winding_operation.cc:560)."""
+    schema = f"{id_col} long, n_loops int, area double, loops array<array<double>>"
+
+    def run(batches):
+        from s2geo_spark.kernel import booleanop as bo
+        from s2geo_spark.kernel import overlay as ov
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arrs = [
+                    np.asarray(l, dtype=np.float64).reshape(-1, 3)
+                    for l in r["loops"]
+                ]
+                res = ov.winding_operation(arrs, rule)
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "n_loops": len(res),
+                        "area": bo.region_area(res) if res else 0.0,
+                        "loops": [l.ravel().tolist() for l in res],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_loops", "area", "loops"]
+            )
+
+    return loops_df.mapInPandas(run, schema=schema)
