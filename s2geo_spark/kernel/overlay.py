@@ -578,6 +578,9 @@ _WINDING_RULES = {
     "negative": lambda w: w < 0,
     "non_zero": lambda w: w != 0,
     "odd": lambda w: (w & 1) == 1,
+    # complement of non_zero — used by the buffer fallback (the shrunk
+    # region is the zero-winding side of the reversed raw offset curve)
+    "zero": lambda w: w == 0,
 }
 
 

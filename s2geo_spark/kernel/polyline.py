@@ -178,12 +178,14 @@ def buffer_loop_exact(vertices: np.ndarray, radius_rad: float,
     which is the reference's arc-tolerance model.
 
     radius_rad > 0 grows the region, < 0 shrinks it. Returns the buffered
-    region as a list of CCW loops ([] when shrinking annihilates it). When
-    the raw offset curve self-intersects (|radius| beyond the concave
-    feature size), the positive-radius path falls back to the conservative
-    grid buffer (buffer_loop) and the negative path raises — resolving
-    those requires the winding machinery on self-intersecting input,
-    documented out of scope in COVERAGE.md."""
+    region as a list of CCW loops ([] when shrinking annihilates it).
+    Radii beyond the local feature size (trimmed curve fails or
+    self-intersects) resolve through the winding arrangement of the RAW
+    join-everywhere offset curve — grow = non_zero winding, shrink = the
+    zero-winding side of the reversed curve — so regions that split into
+    several components or annihilate entirely come out exact as well. The
+    only failure mode left is a buffer covering (nearly) the whole sphere,
+    which has no provably-outside anchor point and raises."""
     from . import loops as lps
     from . import measures as m
     from .booleanop import clean_chain, loop_is_simple
@@ -282,69 +284,124 @@ def buffer_loop_exact(vertices: np.ndarray, radius_rad: float,
 
     from .predicates import sign as _sign
 
-    # per-vertex decision: round join vs trim at the offset intersection.
-    # Outward buffers join at CONVEX (left) turns and trim at reflex ones;
-    # inward buffers are the mirror image.
-    joins = [None] * n   # samples inserted after edge i
-    end_clip = [None] * n    # replacement for edge i's offset end
-    start_clip = [None] * n  # replacement for edge i's offset start
-    for i in range(n):
-        j = (i + 1) % n
-        u, w, x = v[i], nxt[i], nxt[j]
-        turn = _sign(tuple(u), tuple(w), tuple(x))
-        if turn == 0:
-            continue
-        wants_join = (turn > 0) if outward else (turn < 0)
-        if wants_join:
-            joins[i] = (w, axes[i], axes[j])
-        else:
-            xv = offset_arc_intersection(axes[i], axes[j], w)
-            if xv is None:
-                if outward:
-                    return buffer_loop(v, r)
-                raise ValueError(
-                    "inward buffer exceeds the local feature size; "
-                    "winding resolution of self-intersecting offsets is "
-                    "out of scope (COVERAGE.md)"
-                )
-            end_clip[i] = xv
-            start_clip[j] = xv
+    def build_chain(trim: bool):
+        """The offset polyline. trim=True: round joins at same-turn
+        vertices, exact trims at opposite turns (the fast path; returns
+        None when a trim fails or consumes a whole edge). trim=False: the
+        RAW curve — round joins at EVERY vertex, never trimmed (possibly
+        self-intersecting; the winding fallback resolves it)."""
+        joins = [None] * n   # samples inserted after edge i
+        end_clip = [None] * n
+        start_clip = [None] * n
+        for i in range(n):
+            j = (i + 1) % n
+            u, w, x = v[i], nxt[i], nxt[j]
+            turn = _sign(tuple(u), tuple(w), tuple(x))
+            if turn == 0:
+                continue
+            wants_join = (turn > 0) if outward else (turn < 0)
+            if wants_join or not trim:
+                joins[i] = (w, axes[i], axes[j])
+            else:
+                xv = offset_arc_intersection(axes[i], axes[j], w)
+                if xv is None:
+                    return None
+                end_clip[i] = xv
+                start_clip[j] = xv
+        pts = []
+        for i in range(n):
+            u, w, ax = v[i], nxt[i], axes[i]
+            q0 = offset(u, ax) if start_clip[i] is None else start_clip[i]
+            q1 = offset(w, ax) if end_clip[i] is None else end_clip[i]
+            if trim and azimuth(q1, ax, offset(u, ax)) < azimuth(
+                q0, ax, offset(u, ax)
+            ) - 1e-15:
+                return None  # trim consumed the whole edge
+            pts.append(q0)
+            pts.extend(offset_interior(ax, q0, q1))
+            pts.append(q1)
+            if joins[i] is not None:
+                pts.extend(join_arc(*joins[i]))
+        return clean_chain(np.asarray(pts))
 
-    pts = []
-    for i in range(n):
-        u, w, ax = v[i], nxt[i], axes[i]
-        q0 = offset(u, ax) if start_clip[i] is None else start_clip[i]
-        q1 = offset(w, ax) if end_clip[i] is None else end_clip[i]
-        # a trim that consumed the whole edge (radius beyond the local
-        # feature size) needs the global arrangement: fall back
-        if azimuth(q1, ax, offset(u, ax)) < azimuth(q0, ax, offset(u, ax)) - 1e-15:
-            if outward:
-                return buffer_loop(v, r)
-            raise ValueError(
-                "inward buffer exceeds the local feature size; winding "
-                "resolution of self-intersecting offsets is out of scope "
-                "(COVERAGE.md)"
-            )
-        pts.append(q0)
-        pts.extend(offset_interior(ax, q0, q1))
-        pts.append(q1)
-        if joins[i] is not None:
-            pts.extend(join_arc(*joins[i]))
-    raw = clean_chain(np.asarray(pts))
-    if len(raw) < 3:
+    raw = build_chain(trim=True)
+    if raw is not None and len(raw) >= 3 and loop_is_simple(raw):
+        area = m.loop_area(raw)
+        if not outward and area > 2.0 * np.pi:
+            return []  # shrink annihilated the region (curve inverted)
+        return [raw]
+
+    # GLOBAL fallback (round 3): when |radius| exceeds the local feature
+    # size the trimmed curve fails or self-intersects; resolve the RAW
+    # (join-everywhere) curve with the winding arrangement instead —
+    # grow = non_zero side of the raw curve, shrink = ZERO-winding side of
+    # the reversed raw curve (the Clipper offset-resolution scheme on the
+    # sphere). Exact to the same tessellation tolerance; handles regions
+    # that split into several components or annihilate entirely.
+    from . import edges as ek
+    from . import overlay
+
+    raw2 = build_chain(trim=False)
+    if raw2 is None or len(raw2) < 3:
         return []
-    if not loop_is_simple(raw):
-        if outward:
-            return buffer_loop(v, r)  # conservative grid fallback
+    lp = lps.PreparedLoop(v)
+    anchor = None
+    golden = 0.6180339887498949
+    for k in range(1, 256):
+        zc = 2.0 * ((k * golden) % 1.0) - 1.0
+        th = 2.0 * np.pi * ((k * golden * golden) % 1.0)
+        rad = np.sqrt(max(0.0, 1.0 - zc * zc))
+        q = np.array([rad * np.cos(th), rad * np.sin(th), zc])
+        if bool(lp.contains_points(q[None, :])[0]):
+            continue
+        d2 = float(ek.point_edge_chord2(q[None, :], v, nxt).min())
+        if 2.0 * np.arcsin(min(1.0, np.sqrt(d2) / 2.0)) > r + 0.05:
+            anchor = q
+            break
+    if anchor is None:
         raise ValueError(
-            "inward buffer self-intersects (radius beyond feature size); "
-            "winding resolution of self-intersecting offsets is out of "
-            "scope (COVERAGE.md)"
+            "buffer covers (nearly) the whole sphere: no anchor point "
+            "provably outside it"
         )
-    area = m.loop_area(raw)
-    if not outward and area > 2.0 * np.pi:
-        return []  # shrink annihilated the region (offset curve inverted)
-    return [raw]
+    if outward:
+        res = overlay.winding_operation(
+            [raw2], "non_zero", ref_point=anchor, ref_winding=0
+        )
+    else:
+        res = overlay.winding_operation(
+            [raw2[::-1].copy()], "zero", ref_point=anchor, ref_winding=1
+        )
+
+    # Sphere-specific guard: past (total) annihilation the edges' offset
+    # small circles re-converge on the far side of the region into a
+    # spurious "core" face whose winding does not encode the distance
+    # truth (great circles, unlike lines, meet again). Validate every
+    # result component against the EXACT distance semantics at its
+    # centroid probe and drop mismatches (the spurious core is an
+    # intersection of half-spaces — convex — so the centroid is interior).
+    def truth(p):
+        ins = bool(lp.contains_points(p[None, :])[0])
+        d2 = float(ek.point_edge_chord2(p[None, :], v, nxt).min())
+        d = 2.0 * np.arcsin(min(1.0, np.sqrt(d2) / 2.0))
+        return (ins or d <= r) if outward else (ins and d >= r)
+
+    def xor_member(loop_set, p):
+        got = False
+        for l in loop_set:
+            got ^= bool(
+                lps.PreparedLoop(l)._contains_points_semi_open(p[None, :])[0]
+            )
+        return got
+
+    kept_res = list(res)
+    for l in list(kept_res):
+        c = l.mean(axis=0)
+        c /= np.linalg.norm(c)
+        if not bool(lps.PreparedLoop(l)._contains_points_semi_open(c[None, :])[0]):
+            continue  # non-star component: probe unusable, keep the loop
+        if xor_member(kept_res, c) != truth(c):
+            kept_res.remove(l)
+    return kept_res
 
 
 def clip_polyline_to_loop(vertices: np.ndarray, loop_verts: np.ndarray):

@@ -264,17 +264,49 @@ class TestBufferExact:
         assert len(res) == 1
         assert 0 < bo.region_area(res) < measures.loop_area(L)
 
-    def test_inward_annihilation_raises_or_empty(self):
+    def test_inward_annihilation_empty(self):
         # max inscribed radius of the L is 2 deg: shrinking by 2.5 kills
-        # the region — honest outcomes are [] or the feature-size error
+        # the region — the winding fallback returns [] exactly
         from s2geo_spark.kernel import polyline as pl
 
         L = loops.parse_loop_text("0:0, 0:10, 4:10, 4:4, 10:4, 10:0")
-        try:
-            res = pl.buffer_loop_exact(L, -np.radians(2.5), max_error=1e-7)
-            assert res == []
-        except ValueError as e:
-            assert "feature size" in str(e)
+        assert pl.buffer_loop_exact(L, -np.radians(2.5), max_error=1e-7) == []
+
+    def test_winding_fallback_split_and_big_grow(self):
+        # shrink splits the barbell into two exact components; a grow far
+        # beyond the concave feature size resolves via the raw-curve
+        # winding arrangement (no grid fallback, VERDICT r2 next-#9)
+        from s2geo_spark.kernel import edges as ek
+        from s2geo_spark.kernel import polyline as pl
+
+        bar = loops.parse_loop_text(
+            "0:0, 0:8, 3:8, 3:12, 0:12, 0:20, 8:20, 8:12, 5:12, 5:8, 8:8, 8:0"
+        )
+        lp = loops.PreparedLoop(bar)
+        la = RNG.uniform(-8, 16, 15000)
+        lo = RNG.uniform(-8, 28, 15000)
+        x, y, z = sc.latlng_degrees_to_xyz(la, lo)
+        pts = np.stack([x, y, z], axis=1)
+        nxt = np.roll(bar, -1, axis=0)
+        dist = 2 * np.arcsin(
+            np.sqrt(ek.point_edge_chord2(pts, bar, nxt).min(axis=1)) / 2
+        )
+        inside = lp.contains_points(pts)
+        r = np.radians(1.5)
+        res = pl.buffer_loop_exact(bar, -r, max_error=1e-6)
+        assert len(res) == 2  # the neck died, two lobes survive
+        got = np.zeros(len(pts), dtype=bool)
+        for l in res:
+            got ^= loops.PreparedLoop(l).contains_points(pts)
+        want = inside & (dist >= r)
+        assert ((got != want) & ~(np.abs(dist - r) < 3e-6)).sum() == 0
+        r = np.radians(6.0)
+        res = pl.buffer_loop_exact(bar, r, max_error=1e-6)
+        got = np.zeros(len(pts), dtype=bool)
+        for l in res:
+            got ^= loops.PreparedLoop(l).contains_points(pts)
+        want = inside | (dist <= r)
+        assert ((got != want) & ~(np.abs(dist - r) < 3e-6)).sum() == 0
 
 
 class TestWindingOperation:
