@@ -36,6 +36,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Width-rebalanced scan for queries whose per-row compute dominates.
+
+    Parquet splits only at row-group boundaries, so a small table written
+    as one file scans as a single task — and every downstream narrow stage,
+    including a 1000x shingle explode, inherits that width. One tiny
+    round-robin shuffle of the raw rows lets the expansion run on every
+    core. At real scale (many files / row groups) the scan is already at
+    least as wide as the session and this is a no-op, so the shuffle never
+    appears in the 100-TB plan.
+    """
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Geo oracle SQL fragments (the full S2 transform pipeline in SQL)
 # ---------------------------------------------------------------------------
@@ -950,7 +968,7 @@ _HEXV = "0123456789abcdef"
 def q_simhash8(spark, sf_dir):
     """8-bit SimHash per document, SQL-expressible variant: bit b of a
     token = bit b of its md5 front byte; signature bit = sign of votes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
@@ -1030,7 +1048,7 @@ def o_dedup_exact():
 
 
 def q_minhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
@@ -1089,7 +1107,7 @@ def _shingles(spark, sf_dir):
     same substrings. (A same-digest two-slice variant was tried and
     rejected: its band-2 argmin re-clustered the planted duplicate docs
     and doubled the candidate pairs.)"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     s = F.expr("substr(text, pos, 12)")
     m1 = F.md5(s)
     m2 = F.md5(F.concat(F.lit("salt:"), s))
@@ -1211,7 +1229,7 @@ _LANG_MARKERS = {
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     scores = {
         lang: sum(
             (F.size(F.split(F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
@@ -1254,7 +1272,7 @@ def o_lang_id():
 
 
 def q_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     return docs.select(
         "doc_id",
@@ -1279,7 +1297,7 @@ FROM documents
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     return (
         docs.select("lang", F.size(words).alias("n"))
@@ -1305,7 +1323,7 @@ def q_tokens_bpe(spark, sf_dir):
     the pre-tokenizer shape BPE vocabularies train on): per-language total
     and distinct token counts. Spark regexp_extract_all and DuckDB
     regexp_extract_all produce identical token streams (verified)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
         F.explode(
@@ -1332,7 +1350,7 @@ FROM toks GROUP BY lang
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
         F.explode(
