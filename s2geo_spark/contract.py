@@ -832,6 +832,281 @@ WHERE (lx.x-rx.x)*(lx.x-rx.x) + (lx.y-rx.y)*(lx.y-rx.y) + (lx.z-rx.z)*(lx.z-rx.z
 """
 
 
+# --- Hausdorff / density tree / cell-union set algebra ----------------------
+
+def q_hausdorff(spark, sf_dir):
+    """Directed discrete Hausdorff h(A->B) per customer group vs the
+    supplier point set (S2HausdorffDistanceQuery,
+    src/s2/s2hausdorff_distance_query.h:16-40). Emits the achieving
+    (witness) pair — ids, not raw chord distances, so the oracle compares
+    exact integers while still pinning the max-of-min structure."""
+    from s2geo_spark.operators import geometry as geom_op
+
+    a = _points_df(spark, sf_dir, "customer", "c_custkey").withColumn(
+        "set_a", F.col("point_id") % 5
+    )
+    b = _points_df(spark, sf_dir, "supplier", "s_suppkey")
+    return geom_op.hausdorff_join(a, b, emit_witness=True).select(
+        "set_a", "witness_query", "witness_point"
+    )
+
+
+def o_hausdorff():
+    return f"""
+WITH a0 AS ({geo.points_sql('customer', 'c_custkey')}),
+ax AS (SELECT point_id % 5 AS set_a, point_id AS query_id, {_XYZ_SQL} FROM a0),
+b0 AS ({geo.points_sql('supplier', 's_suppkey')}),
+bx AS (SELECT point_id, {_XYZ_SQL} FROM b0),
+d AS (SELECT set_a, query_id, bx.point_id,
+        (ax.x-bx.x)*(ax.x-bx.x) + (ax.y-bx.y)*(ax.y-bx.y)
+      + (ax.z-bx.z)*(ax.z-bx.z) AS dist2
+      FROM ax CROSS JOIN bx),
+nn AS (SELECT set_a, query_id, point_id, dist2,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rk
+       FROM d),
+w AS (SELECT set_a, query_id, point_id,
+        row_number() OVER (PARTITION BY set_a ORDER BY dist2 DESC, query_id) AS rk2
+      FROM nn WHERE rk = 1)
+SELECT set_a, query_id AS witness_query, point_id AS witness_point
+FROM w WHERE rk2 = 1
+"""
+
+
+_DENSITY_LEVELS = [4, 6, 8, 10]
+
+
+def q_density_rollup(spark, sf_dir):
+    """Multi-level density tree (S2DensityTree analog, plans/density.py;
+    src/s2/s2density_tree.h:43-113): per-level cell count / total / max
+    weight over the orders points. The rollup aggregates the finest
+    level once and derives coarser levels from that small table."""
+    from s2geo_spark.plans import density
+
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey").withColumn(
+        "cell", sf.s2_cell_id("lat", "lon")
+    )
+    tree = density.density_rollup(pts, _DENSITY_LEVELS)
+    return (
+        tree.groupBy("level")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("weight").alias("total_weight"),
+            F.max("weight").alias("max_weight"),
+        )
+        .select(
+            F.col("level").cast("long").alias("level"),
+            "n_cells",
+            "total_weight",
+            "max_weight",
+        )
+    )
+
+
+def o_density_rollup():
+    parts = []
+    for lv in _DENSITY_LEVELS:
+        s = 30 - lv
+        parts.append(
+            f"SELECT CAST({lv} AS BIGINT) AS level, "
+            f"CAST(count(*) AS BIGINT) AS n_cells, "
+            f"CAST(sum(cnt) AS BIGINT) AS total_weight, "
+            f"CAST(max(cnt) AS BIGINT) AS max_weight "
+            f"FROM (SELECT face, i >> {s} AS iq, j >> {s} AS jq, "
+            f"count(*) AS cnt FROM fij GROUP BY face, iq, jq) q{lv}"
+        )
+    return _points_cte("orders", "o_orderkey") + " UNION ALL ".join(parts)
+
+
+# Cell-union set algebra fixture: synthetic mixed-level (8 and 10) cell
+# sets built ARITHMETICALLY from customer/supplier keys inside one small
+# curve-position domain, so a SQL oracle can rebuild the exact inputs and
+# verify normalize/union/intersection/difference — including recursive
+# sibling collapse — via leaf-range interval arithmetic (lsb = cell &
+# -cell is the cell's leaf count; containment is a BETWEEN on the
+# [cell-lsb+1, cell+lsb-1] range; s2cell_union.cc:75-120 invariants).
+_ALG_DOM = 512          # level-10 curve positions in the domain
+_ALG_M10 = 2654435761   # Knuth multiplicative hash — SQL-mirrorable
+_ALG_M8 = 7919
+_ALG_SETS = 4
+
+
+def _alg_lsb(level: int) -> int:
+    return 1 << (2 * (30 - level))
+
+
+def _alg_raw(spark, sf_dir, table, key, mod):
+    lsb10, lsb8 = _alg_lsb(10), _alg_lsb(8)
+    t = _t(spark, sf_dir, table)
+    k = f"CAST({key} AS BIGINT)"
+    lvl10 = t.select(
+        F.expr(f"{k} % {_ALG_SETS}").alias("set_id"),
+        F.expr(f"(({k} * {_ALG_M10}) % {_ALG_DOM}) * {2 * lsb10} + {lsb10}").alias(
+            "cell"
+        ),
+    )
+    lvl8 = t.filter(F.expr(f"{k} % {mod} = 0")).select(
+        F.expr(f"{k} % {_ALG_SETS}").alias("set_id"),
+        F.expr(
+            f"((({k} * {_ALG_M8}) % {_ALG_DOM}) DIV 16) * {2 * lsb8} + {lsb8}"
+        ).alias("cell"),
+    )
+    return lvl10.unionByName(lvl8).distinct()
+
+
+def q_union_algebra(spark, sf_dir):
+    """Cell-union set algebra end-to-end (normalize / union / intersection
+    / difference — s2cell_union.cc:75-448 semantics) over the synthetic
+    mixed-level sets. Stats per (op, set): cell count after
+    normalization, exact leaf measure (sum of lsb), and bit_xor of the
+    cell ids — an order-free value hash of the resulting set, so the
+    oracle pins the exact cells, not just their count."""
+    from s2geo_spark.operators import cellset
+
+    raw_a = _alg_raw(spark, sf_dir, "customer", "c_custkey", 7)
+    raw_b = _alg_raw(spark, sf_dir, "supplier", "s_suppkey", 3)
+    na = cellset.normalize_sets(raw_a)
+    nb = cellset.normalize_sets(raw_b)
+    un = cellset.set_union(raw_a, raw_b)
+    inter = (
+        cellset.set_intersection_cells(
+            na.withColumnRenamed("set_id", "a_id"),
+            nb.withColumnRenamed("set_id", "b_id"),
+        )
+        .filter(F.col("a_id") == F.col("b_id"))
+        .select(F.col("a_id").alias("set_id"), "cell")
+    )
+    diff = cellset.set_difference(na, nb)
+
+    def stats(df, op):
+        return (
+            df.groupBy("set_id")
+            .agg(
+                F.count("*").alias("n_cells"),
+                F.sum(F.expr("cell & -cell")).alias("n_leaves"),
+                F.expr("bit_xor(cell)").alias("cells_xor"),
+            )
+            .select(
+                F.lit(op).alias("op"), "set_id", "n_cells", "n_leaves", "cells_xor"
+            )
+        )
+
+    return (
+        stats(na, "normalize")
+        .unionByName(stats(un, "union"))
+        .unionByName(stats(inter, "intersection"))
+        .unionByName(stats(diff, "difference"))
+    )
+
+
+def _alg_sql_raw(table, key, mod):
+    lsb10, lsb8 = _alg_lsb(10), _alg_lsb(8)
+    k = f"CAST({key} AS BIGINT)"
+    return f"""
+  SELECT DISTINCT {k} % {_ALG_SETS} AS set_id,
+         (({k} * {_ALG_M10}) % {_ALG_DOM}) * {2 * lsb10} + {lsb10} AS cell
+  FROM {table}
+  UNION
+  SELECT {k} % {_ALG_SETS},
+         ((({k} * {_ALG_M8}) % {_ALG_DOM}) // 16) * {2 * lsb8} + {lsb8}
+  FROM {table} WHERE {k} % {mod} = 0
+"""
+
+
+def _alg_sql_max(name, raw):
+    # maximal cells of a raw set: drop duplicates/contained (quadtree
+    # ranges are nested-or-disjoint, so BETWEEN on the leaf range is exact)
+    return f"""
+{name} AS (
+  SELECT set_id, cell, cell & -cell AS lsb
+  FROM {raw} r1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {raw} r2
+    WHERE r2.set_id = r1.set_id
+      AND (r2.cell & -r2.cell) > (r1.cell & -r1.cell)
+      AND r1.cell BETWEEN r2.cell - (r2.cell & -r2.cell) + 1
+                      AND r2.cell + (r2.cell & -r2.cell) - 1
+  )
+)"""
+
+
+def _alg_sql_cov(name, mx):
+    # covered leaf measure of every lattice candidate w.r.t. a disjoint
+    # cell set: overlapping cells are nested, so each pair contributes
+    # min(lsb) and the contributions are disjoint
+    return f"""
+{name} AS (
+  SELECT m.set_id, l.cell, l.lsb,
+         SUM(CASE WHEN m.lsb >= l.lsb THEN l.lsb ELSE m.lsb END) AS cov
+  FROM lat l JOIN {mx} m
+    ON (m.cell BETWEEN l.cell - l.lsb + 1 AND l.cell + l.lsb - 1)
+    OR (l.cell BETWEEN m.cell - m.lsb + 1 AND m.cell + m.lsb - 1)
+  GROUP BY 1, 2, 3
+)"""
+
+
+def _alg_sql_norm(name, cov):
+    # canonical normalized membership: the cell is fully covered and its
+    # parent is not — exactly the fixpoint of recursive sibling collapse
+    return f"""
+{name} AS (
+  SELECT c.set_id, c.cell, c.lsb
+  FROM {cov} c
+  LEFT JOIN {cov} p
+    ON p.set_id = c.set_id
+   AND p.cell = c.cell - (c.cell % (8 * c.lsb)) + 4 * c.lsb
+  WHERE c.cov = c.lsb AND COALESCE(p.cov, 0) < 4 * c.lsb
+)"""
+
+
+def o_union_algebra():
+    lattice = " UNION ALL ".join(
+        f"SELECT CAST(p AS BIGINT) * {2 * _alg_lsb(lv)} + {_alg_lsb(lv)} AS cell, "
+        f"CAST({_alg_lsb(lv)} AS BIGINT) AS lsb "
+        f"FROM generate_series(0, {_ALG_DOM // 4 ** (10 - lv) - 1}) t{lv}(p)"
+        for lv in range(6, 11)
+    )
+    stat = (
+        "SELECT '{op}' AS op, set_id, CAST(count(*) AS BIGINT) AS n_cells, "
+        "CAST(sum(lsb) AS BIGINT) AS n_leaves, bit_xor(cell) AS cells_xor "
+        "FROM {src} GROUP BY set_id"
+    )
+    return f"""
+WITH raw_a AS ({_alg_sql_raw('customer', 'c_custkey', 7)}),
+raw_b AS ({_alg_sql_raw('supplier', 's_suppkey', 3)}),
+raw_u AS (SELECT * FROM raw_a UNION SELECT * FROM raw_b),
+lat AS ({lattice}),
+{_alg_sql_max('max_a', 'raw_a')},
+{_alg_sql_max('max_b', 'raw_b')},
+{_alg_sql_max('max_u', 'raw_u')},
+{_alg_sql_cov('cov_a', 'max_a')},
+{_alg_sql_cov('cov_b', 'max_b')},
+{_alg_sql_cov('cov_u', 'max_u')},
+{_alg_sql_norm('norm_a', 'cov_a')},
+{_alg_sql_norm('norm_b', 'cov_b')},
+{_alg_sql_norm('norm_u', 'cov_u')},
+int_cells AS (
+  SELECT a.set_id,
+         CASE WHEN a.lsb <= b.lsb THEN a.cell ELSE b.cell END AS cell,
+         CASE WHEN a.lsb <= b.lsb THEN a.lsb ELSE b.lsb END AS lsb
+  FROM norm_a a JOIN norm_b b
+    ON a.set_id = b.set_id
+   AND ((b.cell BETWEEN a.cell - a.lsb + 1 AND a.cell + a.lsb - 1)
+     OR (a.cell BETWEEN b.cell - b.lsb + 1 AND b.cell + b.lsb - 1))
+),
+{_alg_sql_cov('cov_i', 'int_cells')},
+cov_d AS (
+  SELECT a.set_id, a.cell, a.lsb, a.cov - COALESCE(i.cov, 0) AS cov
+  FROM cov_a a
+  LEFT JOIN cov_i i ON i.set_id = a.set_id AND i.cell = a.cell
+),
+{_alg_sql_norm('norm_d', 'cov_d')}
+{stat.format(op='normalize', src='norm_a')}
+UNION ALL {stat.format(op='union', src='norm_u')}
+UNION ALL {stat.format(op='intersection', src='int_cells')}
+UNION ALL {stat.format(op='difference', src='norm_d')}
+"""
+
+
 _H3_TILE_RES = 3
 
 _H3FAB_SCHEMA = StructType(
@@ -1778,6 +2053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
         "s2_distance_join": q_distance_join,
+        "s2_hausdorff": q_hausdorff,
+        "s2_density_rollup": q_density_rollup,
+        "s2_union_algebra": q_union_algebra,
         "h3_tile_counts": q_h3_counts,
         "dedup_simhash8": q_simhash8,
         "media_bytes": q_media_bytes,
@@ -1819,6 +2097,9 @@ def oracle_sql() -> dict[str, str]:
         "s2_knn": o_knn(),
         "s2_furthest": o_furthest(),
         "s2_distance_join": o_distance_join(),
+        "s2_hausdorff": o_hausdorff(),
+        "s2_density_rollup": o_density_rollup(),
+        "s2_union_algebra": o_union_algebra(),
         "h3_tile_counts": o_h3_counts(),
         "dedup_simhash8": o_simhash8(),
         "media_bytes": o_media_bytes(),

@@ -25,14 +25,19 @@ from s2geo_spark.operators import knn as knn_op
 
 
 def hausdorff_join(
-    a: DataFrame, b: DataFrame, a_id: str = "set_a", b_id: str = "set_b"
+    a: DataFrame, b: DataFrame, a_id: str = "set_a", b_id: str = "set_b",
+    emit_witness: bool = False,
 ) -> DataFrame:
     """Directed discrete Hausdorff h(A->B) per (a_id) group against the
     whole of B: max over a in A of min over b in B of dist(a, b).
 
     Inputs: a(a_id, point_id, lat, lon), b(point_id, lat, lon). Output:
-    (a_id, hausdorff_chord2). Composed entirely from the kNN join (1-NN) +
-    a max aggregate — no new kernel code.
+    (a_id, hausdorff_chord2), plus — with emit_witness — the achieving
+    pair (witness_query from A, witness_point = its 1-NN in B), ties
+    broken by ascending query id (matching the kNN rank tie rule, so an
+    oracle can reproduce the ids without comparing floats). Composed
+    entirely from the kNN join (1-NN) + a max/top-1 aggregate — no new
+    kernel code.
     """
     nn = knn_op.knn_join(
         a.select(F.col("point_id").alias("query_id"), "lat", "lon"),
@@ -40,10 +45,21 @@ def hausdorff_join(
         k=1,
     )
     labels = a.select(F.col("point_id").alias("query_id"), a_id)
+    nn = nn.join(labels, "query_id")
+    if not emit_witness:
+        return nn.groupBy(a_id).agg(F.max("dist2").alias("hausdorff_chord2"))
+    w = Window.partitionBy(a_id).orderBy(
+        F.col("dist2").desc(), F.col("query_id")
+    )
     return (
-        nn.join(labels, "query_id")
-        .groupBy(a_id)
-        .agg(F.max("dist2").alias("hausdorff_chord2"))
+        nn.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            a_id,
+            F.col("query_id").alias("witness_query"),
+            F.col("point_id").alias("witness_point"),
+            F.col("dist2").alias("hausdorff_chord2"),
+        )
     )
 
 
