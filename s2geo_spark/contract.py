@@ -832,6 +832,67 @@ WHERE (lx.x-rx.x)*(lx.x-rx.x) + (lx.y-rx.y)*(lx.y-rx.y) + (lx.z-rx.z)*(lx.z-rx.z
 """
 
 
+# --- streaming flagship ------------------------------------------------------
+
+def q_stream_tiles(spark, sf_dir):
+    """Streaming flagship: orders points STREAMED from the sf_dir parquet
+    (file-source micro-batches) through the stream-static indexed PIP
+    join + level-8 tile rollup (streaming/pipeline.spatial_join_stream),
+    driven to a memory sink and returned as a batch frame. The oracle is
+    plain batch SQL — streaming/batch parity is part of what the hash
+    check pins down, not just claimed by construction."""
+    import uuid
+
+    from s2geo_spark.streaming import pipeline as spl
+
+    import os
+
+    schema = _t(spark, sf_dir, "orders").schema
+    # the file stream source wants a directory: point it at the dataset
+    # dir when orders.parquet is one, else glob the single file in sf_dir
+    src = f"{sf_dir}/orders.parquet"
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if not os.path.isdir(src):
+        reader = reader.option("pathGlobFilter", "orders.parquet")
+        src = sf_dir
+    stream = reader.parquet(src)
+    pts = geo.points_from(stream, "o_orderkey")
+    joined = spl.spatial_join_stream(pts, _pip_index(spark), tile_level=8)
+    counts = (
+        joined.select(
+            "polygon_id",
+            F.col("f").alias("face"),
+            F.shiftright("i", 22).alias("iq"),
+            F.shiftright("j", 22).alias("jq"),
+        )
+        .groupBy("polygon_id", "face", "iq", "jq")
+        .agg(F.count("*").alias("pages"))
+    )
+    name = f"stream_tiles_{uuid.uuid4().hex[:12]}"
+    spl.run_to_memory(counts, name, mode="complete")
+    return spark.table(name)
+
+
+def o_stream_tiles():
+    parts = []
+    for pid in fx.PIP_POLYGONS:
+        conds = " AND ".join(
+            f"({w[0]!r}*x + {w[1]!r}*y + {w[2]!r}*z > 0)"
+            for w in fx.convex_edge_normals(pid)
+        )
+        parts.append(
+            f"SELECT point_id, face, i, j, CAST({pid} AS BIGINT) AS polygon_id "
+            f"FROM fij WHERE {conds}"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+{_points_cte('orders', 'o_orderkey')},
+hits AS ({union})
+SELECT polygon_id, face, i >> 22 AS iq, j >> 22 AS jq, count(*) AS pages
+FROM hits GROUP BY polygon_id, face, iq, jq
+"""
+
+
 # --- Hausdorff / density tree / cell-union set algebra ----------------------
 
 def q_hausdorff(spark, sf_dir):
@@ -2053,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
         "s2_distance_join": q_distance_join,
+        "s2_stream_tiles": q_stream_tiles,
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
@@ -2097,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_knn": o_knn(),
         "s2_furthest": o_furthest(),
         "s2_distance_join": o_distance_join(),
+        "s2_stream_tiles": o_stream_tiles(),
         "s2_hausdorff": o_hausdorff(),
         "s2_density_rollup": o_density_rollup(),
         "s2_union_algebra": o_union_algebra(),

@@ -68,6 +68,27 @@ def windowed_tile_counts(pages_stream: DataFrame, tile_level: int = 6) -> DataFr
     )
 
 
+def spatial_join_stream(
+    points_stream: DataFrame, index_df: DataFrame, tile_level: int = 10
+) -> DataFrame:
+    """Stream-static spatial join: streaming points PIP-joined against a
+    STATIC shape-index table, with tile assignment.
+
+    The batch contains_join_indexed plan is streaming-compatible verbatim:
+    the index side is a broadcast static table (stream-static equi-joins
+    are stateless), the rebalance is a stateless exchange, and the exact
+    residual is a stateless mapInPandas — so streaming results equal the
+    batch operator's on the same rows by construction. Downstream,
+    windowed/keyed aggregation rides normal Structured Streaming state.
+    """
+    from s2geo_spark.operators import spatial
+
+    joined = spatial.contains_join_indexed(
+        points_stream, index_df, emit_cell=True
+    )
+    return joined.withColumn("tile", sf.tile_assign("cell", tile_level))
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a stream to completion synchronously (test/local harness).
 
