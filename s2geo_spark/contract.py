@@ -978,6 +978,155 @@ def o_density_rollup():
     return _points_cte("orders", "o_orderkey") + " UNION ALL ".join(parts)
 
 
+def q_convex_hull(spark, sf_dir):
+    """Spherical convex hull membership per group (S2ConvexHullQuery,
+    src/s2/s2convex_hull_query.cc Graham scan with robust Sign). Customer
+    points are windowed to one sub-hemisphere cap (the reference's
+    uniqueness precondition) and hull vertices are emitted as ids, which
+    the oracle re-derives from the supporting-great-circle
+    characterization: v is a hull vertex iff some plane through (v, w)
+    has every other group point on one side."""
+    from s2geo_spark.operators import geometry as geom_op
+
+    # scrambled key: the raw synth points trace a key-ordered curve, so a
+    # lat/lon window would catch a quasi-1-D arc (every point on the
+    # hull); the multiplicative scramble scatters them at every SF
+    k = F.col("c_custkey").cast("long")
+    h = (k * 48271) % 100003
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            (k % 8).alias("group_id"),
+            k.alias("point_id"),
+            geo.lat_col(h).alias("lat"),
+            geo.lon_col(h).alias("lon"),
+        )
+        .filter(
+            (F.col("lat") > 5) & (F.col("lat") < 55)
+            & (F.col("lon") > -60) & (F.col("lon") < 30)
+        )
+    )
+    hull = geom_op.convex_hull(pts, id_col="point_id")
+    return hull.select("group_id", "point_id")
+
+
+def o_convex_hull():
+    return f"""
+WITH p0 AS (SELECT CAST(c_custkey AS BIGINT) AS point_id,
+            {geo.lat_sql('(CAST(c_custkey AS BIGINT) * 48271 % 100003)')} AS lat,
+            {geo.lon_sql('(CAST(c_custkey AS BIGINT) * 48271 % 100003)')} AS lon
+            FROM customer),
+pf AS (SELECT point_id % 8 AS g, point_id, lat, lon FROM p0
+       WHERE lat > 5 AND lat < 55 AND lon > -60 AND lon < 30),
+px AS (SELECT g, point_id, {_XYZ_SQL} FROM pf),
+cnt AS (SELECT g, count(*) AS n FROM px GROUP BY g),
+edges AS (
+  SELECT a.g, a.point_id
+  FROM px a JOIN px b ON b.g = a.g AND b.point_id <> a.point_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM px u
+    WHERE u.g = a.g AND u.point_id NOT IN (a.point_id, b.point_id)
+      AND (a.y*b.z - a.z*b.y)*u.x + (a.z*b.x - a.x*b.z)*u.y
+        + (a.x*b.y - a.y*b.x)*u.z < 0
+  )
+)
+SELECT DISTINCT g AS group_id, point_id FROM edges
+UNION
+SELECT g, point_id FROM px WHERE g IN (SELECT g FROM cnt WHERE n <= 2)
+"""
+
+
+_CHAIN_FRAC = 0.37
+_CHAIN_NV = 6
+
+
+def _chain_key(i: int) -> int:
+    return i * 37 + 11
+
+
+def q_chain_interp(spark, sf_dir):
+    """Point-at-fraction along per-nation polylines
+    (S2ChainInterpolationQuery, src/s2/s2chain_interpolation_query.cc):
+    cumulative geodesic arc lengths pick the segment, slerp interpolates.
+    Emits the segment index plus the interpolated point's level-5 quad —
+    exact integers on both engines; the coarse quad tolerates the
+    libm-vs-JVM trig ulps while still pinning the interpolated
+    position."""
+    from s2geo_spark.operators import geometry as geom_op
+
+    n = F.col("n_nationkey").cast("long")
+    verts = F.array(
+        *[
+            F.array(
+                geo.lat_col(n * 1000 + _chain_key(i)),
+                geo.lon_col(n * 1000 + _chain_key(i)),
+            )
+            for i in range(_CHAIN_NV)
+        ]
+    )
+    lines = _t(spark, sf_dir, "nation").select(
+        n.alias("line_id"), verts.alias("vertices"),
+        F.lit(_CHAIN_FRAC).alias("fraction"),
+    )
+    out = geom_op.chain_interpolate(lines, emit_seg=True)
+    face, i, j = sf.s2_face_ij_cols("lat", "lon")
+    return out.select(
+        "line_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        face.alias("face"),
+        F.shiftright(i, 25).alias("iq"),
+        F.shiftright(j, 25).alias("jq"),
+    )
+
+
+def o_chain_interp():
+    vparts = " UNION ALL ".join(
+        f"SELECT CAST(n_nationkey AS BIGINT) AS line_id, {i} AS vidx, "
+        f"{geo.lat_sql(f'(CAST(n_nationkey AS BIGINT)*1000 + {_chain_key(i)})')} AS lat, "
+        f"{geo.lon_sql(f'(CAST(n_nationkey AS BIGINT)*1000 + {_chain_key(i)})')} AS lon "
+        "FROM nation"
+        for i in range(_CHAIN_NV)
+    )
+    slerp = (
+        "CASE WHEN w = 0 THEN a{c} ELSE "
+        "(sin((1 - (target - cum0)/w) * w) * a{c} "
+        "+ sin(((target - cum0)/w) * w) * b{c}) / sin(w) END AS {c}"
+    )
+    return f"""
+WITH v AS ({vparts}),
+vx AS (SELECT line_id, vidx, {_XYZ_SQL} FROM v),
+seg AS (
+  SELECT a.line_id, a.vidx,
+         acos(LEAST(1.0, GREATEST(-1.0, a.x*b.x + a.y*b.y + a.z*b.z))) AS w,
+         a.x AS ax, a.y AS ay, a.z AS az,
+         b.x AS bx, b.y AS by, b.z AS bz
+  FROM vx a JOIN vx b ON b.line_id = a.line_id AND b.vidx = a.vidx + 1
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(w) OVER (PARTITION BY line_id ORDER BY vidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum0,
+         {_CHAIN_FRAC} * SUM(w) OVER (PARTITION BY line_id) AS target
+  FROM seg
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY line_id ORDER BY vidx DESC) AS rnd
+  FROM cum WHERE cum0 <= target
+),
+ip AS (
+  SELECT line_id, vidx AS seg_idx,
+         {slerp.format(c='x')}, {slerp.format(c='y')}, {slerp.format(c='z')}
+  FROM pick WHERE rnd = 1
+),
+fc AS (SELECT *, {_FACE_SQL} AS face FROM ip),
+fuv AS (SELECT *, {_UV_SQL} FROM fc),
+fij AS (SELECT *, {_ij_sql('u')} AS i, {_ij_sql('v')} AS j FROM fuv)
+SELECT line_id, CAST(seg_idx AS BIGINT) AS seg_idx, face,
+       i >> 25 AS iq, j >> 25 AS jq
+FROM fij
+"""
+
+
 # Cell-union set algebra fixture: synthetic mixed-level (8 and 10) cell
 # sets built ARITHMETICALLY from customer/supplier keys inside one small
 # curve-position domain, so a SQL oracle can rebuild the exact inputs and
@@ -2118,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
+        "s2_convex_hull": q_convex_hull,
+        "s2_chain_interp": q_chain_interp,
         "h3_tile_counts": q_h3_counts,
         "dedup_simhash8": q_simhash8,
         "media_bytes": q_media_bytes,
@@ -2163,6 +2314,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_hausdorff": o_hausdorff(),
         "s2_density_rollup": o_density_rollup(),
         "s2_union_algebra": o_union_algebra(),
+        "s2_convex_hull": o_convex_hull(),
+        "s2_chain_interp": o_chain_interp(),
         "h3_tile_counts": o_h3_counts(),
         "dedup_simhash8": o_simhash8(),
         "media_bytes": o_media_bytes(),

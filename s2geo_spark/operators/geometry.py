@@ -68,18 +68,24 @@ def chain_interpolate(
     fraction_col: str = "fraction",
     line_id: str = "line_id",
     vertices_col: str = "vertices",
+    emit_seg: bool = False,
 ) -> DataFrame:
     """Point at a normalized distance along each polyline.
 
     polylines: (line_id, vertices array<array<double>> [lat, lon] pairs,
-    fraction in [0,1]). Returns (line_id, lat, lon). Arc lengths and the
-    spherical interpolation (slerp) run vectorized per row batch.
+    fraction in [0,1]). Returns (line_id, lat, lon) — plus, with
+    emit_seg, the index of the segment the target falls in (an exact
+    integer an oracle can re-derive from cumulative arc lengths). Arc
+    lengths and the spherical interpolation (slerp) run vectorized per
+    row batch.
     """
     out_schema = f"{line_id} long, lat double, lon double"
+    if emit_seg:
+        out_schema += ", seg_idx int"
 
     def run(batches):
         for pdf in batches:
-            ids, lats, lons = [], [], []
+            ids, lats, lons, segs = [], [], [], []
             for _, row in pdf.iterrows():
                 # Arrow hands nested lists as object arrays — stack explicitly
                 verts = np.stack(
@@ -112,26 +118,44 @@ def chain_interpolate(
                 ids.append(row[line_id])
                 lats.append(float(la[0]))
                 lons.append(float(lo[0]))
-            yield pd.DataFrame({line_id: ids, "lat": lats, "lon": lons})
+                segs.append(k)
+            out = {line_id: ids, "lat": lats, "lon": lons}
+            if emit_seg:
+                out["seg_idx"] = pd.array(segs, dtype="int32")
+            yield pd.DataFrame(out)
 
     return polylines.mapInPandas(run, schema=out_schema)
 
 
-def convex_hull(points: DataFrame, group_col: str = "group_id") -> DataFrame:
+def convex_hull(
+    points: DataFrame, group_col: str = "group_id", id_col: str | None = None
+) -> DataFrame:
     """Spherical convex hull per group (Graham-scan with the robust Sign
     orientation predicate). Input (group_id, lat, lon); output
-    (group_id, hull_idx, lat, lon) — hull vertices in CCW order.
+    (group_id, hull_idx, lat, lon) — hull vertices in CCW order. With
+    id_col, the input point id rides along so hull membership can be
+    checked on exact integers (duplicate positions keep the smallest id).
 
     Per-group applyInPandas; groups are assumed to fit in one cap smaller
     than a hemisphere (the reference's precondition for a unique hull).
     """
     out_schema = f"{group_col} long, hull_idx int, lat double, lon double"
+    if id_col:
+        out_schema += f", {id_col} long"
 
     def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if id_col:
+            pdf = pdf.sort_values(id_col)
         lat = pdf["lat"].to_numpy()
         lon = pdf["lon"].to_numpy()
         x, y, z = sc.latlng_degrees_to_xyz(lat, lon)
-        pts = np.unique(np.stack([x, y, z], axis=1), axis=0)
+        stacked = np.stack([x, y, z], axis=1)
+        pids = None
+        if id_col:
+            pts, first = np.unique(stacked, axis=0, return_index=True)
+            pids = pdf[id_col].to_numpy()[first]
+        else:
+            pts = np.unique(stacked, axis=0)
         if pts.shape[0] < 3:
             hull = list(range(pts.shape[0]))
         else:
@@ -144,6 +168,8 @@ def convex_hull(points: DataFrame, group_col: str = "group_id") -> DataFrame:
             ang = np.arctan2(pts @ v, pts @ u)
             order = np.argsort(ang, kind="stable")
             sorted_pts = pts[order]
+            if pids is not None:
+                pids = pids[order]
             hull_pts: list[int] = []
             for idx in range(sorted_pts.shape[0]):
                 while len(hull_pts) >= 2 and (
@@ -184,13 +210,14 @@ def convex_hull(points: DataFrame, group_col: str = "group_id") -> DataFrame:
             pts = sorted_pts
         hx = pts[hull]
         la, lo = sc.xyz_to_latlng_degrees(hx[:, 0], hx[:, 1], hx[:, 2])
-        return pd.DataFrame(
-            {
-                group_col: [key[0]] * len(hull),
-                "hull_idx": np.arange(len(hull), dtype=np.int32),
-                "lat": la,
-                "lon": lo,
-            }
-        )
+        out = {
+            group_col: [key[0]] * len(hull),
+            "hull_idx": np.arange(len(hull), dtype=np.int32),
+            "lat": la,
+            "lon": lo,
+        }
+        if pids is not None:
+            out[id_col] = pids[hull]
+        return pd.DataFrame(out)
 
     return points.groupBy(group_col).applyInPandas(per_group, schema=out_schema)
