@@ -139,9 +139,20 @@ def valid_face_xyz_to_uv(face, x, y, z):
 
 
 def xyz_to_face_uv(x, y, z):
-    """xyz -> (face, u, v). Mirrors XYZtoFaceUV (src/s2/s2coords.h:399-403)."""
-    face = get_face(x, y, z)
-    u, v = valid_face_xyz_to_uv(face, x, y, z)
+    """xyz -> (face, u, v). Mirrors XYZtoFaceUV (src/s2/s2coords.h:399-403).
+
+    Fused form of get_face + valid_face_xyz_to_uv: the major-axis
+    component is gathered once and reused as the divisor (it IS the
+    denominator for every face), saving a full-array gather pass on the
+    encode hot path. Bit-identical to the unfused pair."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.choose(axis, [x, y, z])
+    face = np.where(comp < 0.0, axis + 3, axis).astype(np.int64)
+    nx, ny = -x, -y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.choose(face, [y, nx, nx, z, z, ny]) / comp
+        v = np.choose(face, [z, z, ny, y, nx, nx]) / comp
     return face, u, v
 
 
