@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "s2_edge_crossings",
     "h3_tile_counts",
     "s2_knn",
+    "s2_hausdorff",
+    "s2_union_algebra",
+    "s2_stream_tiles",
     "dedup_minhash",
     "dedup_jaccard_pairs",
     "text_fingerprint",

@@ -89,6 +89,7 @@ def knn_join(
     probe_level: int = 4,
     target_ring: int = 4096,
     n_tiers: int = 4,
+    brute_max_points: int = 4096,
 ) -> DataFrame:
     """For each query (query_id, lat, lon): the k nearest points
     (point_id, lat, lon) by spherical distance, ties broken by point_id.
@@ -115,6 +116,51 @@ def knn_join(
     p = p.cache()
 
     if start_level is None:
+        n_pts = p.count()  # also materializes the cache
+        if n_pts <= brute_max_points:
+            # small point side -> broadcast brute force: ONE pass, no ring
+            # rounds, all JVM. This is the broadcast-the-small-dim rule:
+            # ring search only pays off when the point side is too big to
+            # ship to every task. Exact, same (dist2, point_id) tie rule.
+            cand = q.crossJoin(
+                F.broadcast(p.select(point_id, "px", "py", "pz"))
+            )
+            dist2 = (
+                (F.col("px") - F.col("qx")) ** 2
+                + (F.col("py") - F.col("qy")) ** 2
+                + (F.col("pz") - F.col("qz")) ** 2
+            )
+            cand = cand.withColumn("dist2", dist2)
+            p.unpersist()
+            if k == 1:
+                # min(struct) = lexicographic (dist2, point_id) argmin: a
+                # single hash aggregate, no per-query sort at all
+                m = cand.groupBy(query_id).agg(
+                    F.min(F.struct("dist2", point_id)).alias("m")
+                )
+                return m.select(
+                    query_id,
+                    F.col(f"m.{point_id}").alias(point_id),
+                    F.lit(1).alias("rank"),
+                    F.col("m.dist2").alias("dist2"),
+                )
+            w = Window.partitionBy(query_id).orderBy("dist2", point_id)
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id, point_id, "rank", "dist2")
+            )
+        # coarse clamp from the GLOBAL count: for a sparse layer the probe
+        # level's rings are near-empty and every query pays extra rounds
+        # walking coarser; start instead at the finest level whose expected
+        # ring population (9 cells of the 6*4^L grid) still reaches a
+        # resolvable candidate pool. Exactness is unaffected — the round
+        # loop's resolution bound is what guarantees correctness.
+        need = max(32, 8 * k)
+        base = 0
+        while base < probe_level and 9 * n_pts / (6 * 4 ** (base + 1)) >= need:
+            base += 1
+        probe_level = min(probe_level, base)
         # density probe: points per probe-level cell (bounded cardinality:
         # <= 6*4^probe_level rows), broadcast onto queries. Each tier is 2
         # levels (16x density) apart; ring population ~ 9 * local / 16^t.
