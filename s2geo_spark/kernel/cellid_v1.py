@@ -97,6 +97,24 @@ def _compose_pos8():
 LOOKUP_POS8 = _compose_pos8()
 
 
+def _compose_ij8():
+    """8-bit-radix decode table (the LOOKUP_IJ composition mirror of
+    _compose_pos8): index = (pos16 << 2) | orientation, value =
+    (i8 << 10) | (j8 << 2) | orientation'. Two 4-bit decode steps fused;
+    bit-identical by construction."""
+    idx = np.arange(1 << 18, dtype=np.int64)
+    o = idx & 3
+    pos16 = idx >> 2
+    hi = LOOKUP_IJ[((pos16 >> 8) << 2) + o]
+    lo = LOOKUP_IJ[((pos16 & 255) << 2) + (hi & 3)]
+    i8 = ((hi >> 6) << 4) | (lo >> 6)
+    j8 = (((hi >> 2) & 15) << 4) | ((lo >> 2) & 15)
+    return (i8 << 10) | (j8 << 2) | (lo & 3)
+
+
+LOOKUP_IJ8 = _compose_ij8()
+
+
 # ---------------------------------------------------------------------------
 # Encode: (face, i, j) -> leaf id
 # ---------------------------------------------------------------------------
@@ -155,16 +173,18 @@ def to_face_ij_orientation(cell_id, want_orientation=False):
     bits = (f & sc.SWAP_MASK).astype(np.int64)
     i = np.zeros(cell_id.shape, dtype=np.int64)
     j = np.zeros(cell_id.shape, dtype=np.int64)
-    for k in range(7, -1, -1):
-        nbits = (MAX_LEVEL - 7 * _LOOKUP_BITS) if k == 7 else _LOOKUP_BITS
+    # 4 rounds of the composed 8-bit-radix decode table (== 8 reference
+    # rounds; the top round's 6 levels zero-pad exactly like the 4-bit
+    # loop's 2-level top chunk)
+    for k in range(3, -1, -1):
+        nlv = (MAX_LEVEL - 3 * 8) if k == 3 else 8
         chunk = (
-            (cell_id >> np.uint64(k * 2 * _LOOKUP_BITS + 1))
-            & np.uint64((1 << (2 * nbits)) - 1)
+            (cell_id >> np.uint64(k * 16 + 1)) & np.uint64((1 << (2 * nlv)) - 1)
         ).astype(np.int64)
         bits = bits + (chunk << 2)
-        bits = LOOKUP_IJ[bits]
-        i = i + ((bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS))
-        j = j + (((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS))
+        bits = LOOKUP_IJ8[bits]
+        i = i + ((bits >> 10) << (k * 8))
+        j = j + (((bits >> 2) & 255) << (k * 8))
         bits = bits & 3
     if not want_orientation:
         return f, i, j
