@@ -181,6 +181,42 @@ class TestKnnJoin:
             assert got_ids == want_ids, f"query {qi}"
 
 
+class TestKnnBrutePath:
+    """The size-gated broadcast brute-force fast path must return exactly
+    the ring-search result (same rows, same tie rule) — and actually be
+    the BroadcastNestedLoop plan it claims to be."""
+
+    def test_brute_equals_rings(self, spark, points_df, points_pdf):
+        qpdf = pd.DataFrame(
+            {
+                "query_id": np.arange(12, dtype=np.int64),
+                "lat": np.concatenate(
+                    [47.0 + RNG.uniform(-1, 1, 6), RNG.uniform(-70, 70, 6)]
+                ),
+                "lon": np.concatenate(
+                    [8.0 + RNG.uniform(-1, 1, 6), RNG.uniform(-180, 180, 6)]
+                ),
+            }
+        )
+        q = spark.createDataFrame(qpdf)
+        for k in (1, 4):
+            brute = knn_op.knn_join(q, points_df, k=k)
+            plan = brute._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoop" in plan  # the fast path was taken
+            rings = knn_op.knn_join(q, points_df, k=k, start_level=6)
+            b = (
+                brute.orderBy("query_id", "rank")
+                .select("query_id", "rank", "point_id")
+                .toPandas()
+            )
+            r = (
+                rings.orderBy("query_id", "rank")
+                .select("query_id", "rank", "point_id")
+                .toPandas()
+            )
+            assert b.equals(r), f"k={k}"
+
+
 class TestContainsJoinIndexed:
     """Shape-indexed path (distributed prep + per-cell edge clipping) must
     agree exactly with the scalar brute oracle — including a 512-gon whose
