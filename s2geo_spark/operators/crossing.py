@@ -68,6 +68,46 @@ def _xyz(lat, lon, px, py, pz):
     }
 
 
+def _edge_level_from_chord2(chord2, max_level: int):
+    """Ring level column from an edge's squared chord length: coarsest
+    level with kMinWidth >= edge angle (the reference's ilogb metric
+    inversion, s2metrics.h:184-189, with the float-slop nudge of
+    metrics.level_for_min_value). Pure Catalyst — reusable both for the
+    ring UDF input and for cheap distinct-level probes."""
+    angle = 2.0 * F.asin(F.least(F.sqrt(chord2) / 2.0, F.lit(1.0)))
+    raw = F.floor(
+        F.log2(F.lit(metrics.MIN_WIDTH_DERIV) / F.greatest(angle, F.lit(1e-300)))
+    )
+    too_small = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -raw)) < angle
+    lvl = F.when(too_small, raw - 1).otherwise(raw)
+    ok_finer = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -(lvl + 1))) >= angle
+    lvl = F.when(ok_finer, lvl + 1).otherwise(lvl)
+    return F.greatest(F.least(lvl, F.lit(max_level)), F.lit(0)).cast("int")
+
+
+def edge_levels(
+    edges: DataFrame,
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+    max_level: int = 16,
+) -> list:
+    """Distinct ring levels of an edge set — the same expression the ring
+    covering uses, but JVM-only (no ring UDF), so probing it is cheap."""
+    e = edges.withColumns(_xyz(lat1, lon1, "ax", "ay", "az"))
+    e = e.withColumns(_xyz(lat2, lon2, "bx", "by", "bz"))
+    chord2 = (
+        (F.col("ax") - F.col("bx")) ** 2
+        + (F.col("ay") - F.col("by")) ** 2
+        + (F.col("az") - F.col("bz")) ** 2
+    )
+    lvl = _edge_level_from_chord2(chord2, max_level)
+    return sorted(
+        int(r["lvl"]) for r in e.select(lvl.alias("lvl")).distinct().collect()
+    )
+
+
 def edge_ring_cells(
     edges: DataFrame,
     edge_id: str = "edge_id",
@@ -91,15 +131,7 @@ def edge_ring_cells(
         + (F.col("ay") - F.col("by")) ** 2
         + (F.col("az") - F.col("bz")) ** 2
     )
-    angle = 2.0 * F.asin(F.least(F.sqrt(chord2) / 2.0, F.lit(1.0)))
-    raw = F.floor(F.log2(F.lit(metrics.MIN_WIDTH_DERIV) / F.greatest(angle, F.lit(1e-300))))
-    # nudge exactly like metrics.level_for_min_value
-    too_small = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -raw)) < angle
-    lvl = F.when(too_small, raw - 1).otherwise(raw)
-    ok_finer = (F.lit(metrics.MIN_WIDTH_DERIV) * F.pow(2.0, -(lvl + 1))) >= angle
-    lvl = F.when(ok_finer, lvl + 1).otherwise(lvl)
-    lvl = F.greatest(F.least(lvl, F.lit(max_level)), F.lit(0)).cast("int")
-    ring = e.withColumn("lvl", lvl)
+    ring = e.withColumn("lvl", _edge_level_from_chord2(chord2, max_level))
     return ring.select(
         edge_id,
         F.explode(
@@ -125,8 +157,11 @@ def crossing_join(
     EdgeOrVertexCrossing territory)."""
     a_cells = edge_ring_cells(a_edges, edge_id=a_id).withColumnRenamed(a_id, "a_id_")
     b_cells = edge_ring_cells(b_edges, edge_id=b_id).withColumnRenamed(b_id, "b_id_")
+    # ring-cell levels == edge levels, probed JVM-only (no ring-UDF rerun);
+    # set_intersections then explodes ancestors at just those levels
     cand = set_intersections(
-        a_cells, b_cells, a_id="a_id_", b_id="b_id_", min_level=0, max_level=16
+        a_cells, b_cells, a_id="a_id_", b_id="b_id_", min_level=0, max_level=16,
+        levels_a=edge_levels(a_edges), levels_b=edge_levels(b_edges),
     )
 
     def with_mid(df, pfx):
