@@ -1127,6 +1127,78 @@ FROM fij
 """
 
 
+def q_raster_vector(spark, sf_dir):
+    """Raster -> vector boundary reconstruction (kernel/rastervec,
+    SURVEY §2.3 cells->polygons row): per-set level-8 cell unions from
+    customer points (one face, so the oracle's grid adjacency is plain
+    integer arithmetic) are vectorized to boundary loops; emits cell and
+    total boundary-edge counts. The oracle pins the edge count from
+    first principles: 4n minus 2 per interior (shared) edge — exactly
+    what the cancel-and-stitch algorithm must conserve."""
+    k = F.col("c_custkey").cast("long")
+    h = (k * 48271) % 100003  # scrambled key: scatter across faces at any SF
+    pts = _t(spark, sf_dir, "customer").select(
+        k.alias("point_id"),
+        geo.lat_col(h).alias("lat"),
+        geo.lon_col(h).alias("lon"),
+    )
+    cells = (
+        pts.withColumn("cell", sf.s2_parent(sf.s2_cell_id("lat", "lon"), 8))
+        .filter(sf.s2_face_expr("cell") == 2)
+        .select((F.col("point_id") % 3).alias("set_id"), "cell")
+        .distinct()
+    )
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import rastervec
+
+        ids = np.unique(pdf["cell"].to_numpy().view(np.uint64))
+        loops = rastervec.union_boundary_loops(ids)
+        return pd.DataFrame(
+            {
+                "set_id": [key[0]],
+                "n_cells": [len(ids)],
+                "boundary_edges": [int(sum(len(lp) for lp in loops))],
+            }
+        )
+
+    return cells.groupBy("set_id").applyInPandas(
+        per_group, "set_id long, n_cells long, boundary_edges long"
+    )
+
+
+def o_raster_vector():
+    scr = "(CAST(c_custkey AS BIGINT) * 48271 % 100003)"
+    cte = f"""
+WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS point_id,
+             {geo.lat_sql(scr)} AS lat, {geo.lon_sql(scr)} AS lon FROM customer),
+xyz AS (SELECT point_id, lat, lon, {_XYZ_SQL} FROM pts),
+fc AS (SELECT *, {_FACE_SQL} AS face FROM xyz),
+fuv AS (SELECT *, {_UV_SQL} FROM fc),
+fij AS (SELECT *, {_ij_sql('u')} AS i, {_ij_sql('v')} AS j FROM fuv)
+"""
+    return (
+        cte
+        + """,
+cells AS (
+  SELECT DISTINCT point_id % 3 AS set_id, i >> 22 AS iq, j >> 22 AS jq
+  FROM fij WHERE face = 2
+),
+adj AS (
+  SELECT a.set_id, count(*) AS shared
+  FROM cells a JOIN cells b
+    ON a.set_id = b.set_id
+   AND ((a.iq = b.iq AND a.jq = b.jq - 1) OR (a.iq = b.iq - 1 AND a.jq = b.jq))
+  GROUP BY a.set_id
+)
+SELECT s.set_id, s.n AS n_cells,
+       CAST(4 * s.n - 2 * COALESCE(a.shared, 0) AS BIGINT) AS boundary_edges
+FROM (SELECT set_id, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY set_id) s
+LEFT JOIN adj a USING (set_id)
+"""
+    )
+
+
 # Cell-union set algebra fixture: synthetic mixed-level (8 and 10) cell
 # sets built ARITHMETICALLY from customer/supplier keys inside one small
 # curve-position domain, so a SQL oracle can rebuild the exact inputs and
@@ -2267,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
+        "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
         "s2_chain_interp": q_chain_interp,
         "h3_tile_counts": q_h3_counts,
@@ -2314,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_hausdorff": o_hausdorff(),
         "s2_density_rollup": o_density_rollup(),
         "s2_union_algebra": o_union_algebra(),
+        "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),
         "s2_chain_interp": o_chain_interp(),
         "h3_tile_counts": o_h3_counts(),
