@@ -1127,6 +1127,189 @@ FROM fij
 """
 
 
+_CC_K = 3
+
+
+def q_closest_cell(spark, sf_dir):
+    """k closest cells per query point (S2ClosestCellQuery,
+    src/s2/s2closest_cell_query.cc:117): a mixed-level (8/10) face-2 cell
+    index from scrambled customer points, queried by the nation points.
+    Labels are built arithmetically from (lvl, iq, jq) so the oracle can
+    rebuild them AND so distance ties (a query inside nested cells sees
+    two exact zeros) break identically on both engines. The oracle
+    recomputes the exact point-to-cell chord distance from first
+    principles: inside test in UV space, else min over the 4 boundary
+    arcs via projection onto their great circles."""
+    k = F.col("c_custkey").cast("long")
+    h = (k * 48271) % 100003
+    pts = _t(spark, sf_dir, "customer").select(
+        k.alias("ck"), geo.lat_col(h).alias("lat"), geo.lon_col(h).alias("lon")
+    )
+    face, i, j = sf.s2_face_ij_cols("lat", "lon")
+    lvl = F.when(F.col("ck") % 2 == 0, F.lit(8)).otherwise(F.lit(10))
+    iq = F.when(F.col("ck") % 2 == 0, F.shiftright(i, 22)).otherwise(
+        F.shiftright(i, 20)
+    )
+    jq = F.when(F.col("ck") % 2 == 0, F.shiftright(j, 22)).otherwise(
+        F.shiftright(j, 20)
+    )
+    cell = F.when(
+        F.col("ck") % 2 == 0, sf.s2_parent(sf.s2_cell_id("lat", "lon"), 8)
+    ).otherwise(sf.s2_parent(sf.s2_cell_id("lat", "lon"), 10))
+    cells = (
+        pts.select(
+            face.alias("face"),
+            (lvl.cast("long") * F.lit(1 << 40) + iq * F.lit(1 << 20) + jq).alias(
+                "label"
+            ),
+            cell.alias("cell"),
+        )
+        .filter(F.col("face") == 2)
+        .select("label", "cell")
+        .distinct()
+        # materialize the small index: the cell column's Catalyst tree is
+        # the whole encode expression, and the join's iterative rounds
+        # would otherwise re-expand it per round (planner blowup)
+        .localCheckpoint(eager=True)
+    )
+    queries = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        geo.lat_col(F.col("n_nationkey") * 31 + 7).alias("lat"),
+        geo.lon_col(F.col("n_nationkey") * 31 + 7).alias("lon"),
+    )
+    res = knn_op.closest_cell_join(queries, cells, k=_CC_K)
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "label"
+    )
+
+
+def _cc_sql_edges():
+    """The 4 directed boundary arcs of a face-2 cell as UNION ALL rows."""
+    ring = ["00", "10", "11", "01", "00"]
+    rows = []
+    for e in range(4):
+        rows.append(
+            f"SELECT label, {e} AS eidx, "
+            f"x{ring[e]} AS ax, y{ring[e]} AS ay, z{ring[e]} AS az, "
+            f"x{ring[e+1]} AS bx, y{ring[e+1]} AS by, z{ring[e+1]} AS bz "
+            "FROM geom"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def o_closest_cell():
+    st2uv = (
+        "CASE WHEN {s} >= 0.5 THEN (4*{s}*{s} - 1)/3 "
+        "ELSE -(4*(1-{s})*(1-{s}) - 1)/3 END"
+    )
+    corner = (
+        "sqrt({u}*{u} + {v}*{v} + 1) AS n{t}, "
+        "-{u}/sqrt({u}*{u} + {v}*{v} + 1) AS x{t}, "
+        "-{v}/sqrt({u}*{u} + {v}*{v} + 1) AS y{t}, "
+        "1/sqrt({u}*{u} + {v}*{v} + 1) AS z{t}"
+    )
+    # corner names use (u index)(v index): x00 = corner (u0, v0) etc.
+    corners = ", ".join(
+        corner.format(u=f"u{ui}", v=f"v{vi}", t=f"{ui}{vi}")
+        for ui, vi in ((0, 0), (1, 0), (1, 1), (0, 1))
+    )
+    scr = "(CAST(c_custkey AS BIGINT) * 48271 % 100003)"
+    return f"""
+WITH nq AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+            {geo.lat_sql('(CAST(n_nationkey AS BIGINT)*31 + 7)')} AS lat,
+            {geo.lon_sql('(CAST(n_nationkey AS BIGINT)*31 + 7)')} AS lon FROM nation),
+nxyz AS (SELECT query_id, lat, lon, {_XYZ_SQL} FROM nq),
+nfc AS (SELECT *, {_FACE_SQL} AS face FROM nxyz),
+nfuv AS (SELECT *, {_UV_SQL} FROM nfc),
+np AS (SELECT query_id, x AS px, y AS py, z AS pz,
+              face AS qface, u AS qu, v AS qv FROM nfuv),
+cp AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+       {geo.lat_sql(scr)} AS lat, {geo.lon_sql(scr)} AS lon FROM customer),
+cxyz AS (SELECT ck, lat, lon, {_XYZ_SQL} FROM cp),
+cfc AS (SELECT *, {_FACE_SQL} AS face FROM cxyz),
+cfuv AS (SELECT *, {_UV_SQL} FROM cfc),
+cij AS (SELECT *, {_ij_sql('u')} AS i, {_ij_sql('v')} AS j FROM cfuv),
+cells AS (
+  SELECT DISTINCT
+    CASE WHEN ck % 2 = 0 THEN 8 ELSE 10 END AS lvl,
+    CASE WHEN ck % 2 = 0 THEN i >> 22 ELSE i >> 20 END AS iq,
+    CASE WHEN ck % 2 = 0 THEN j >> 22 ELSE j >> 20 END AS jq,
+    CAST(CASE WHEN ck % 2 = 0 THEN 8 ELSE 10 END AS BIGINT) * {1 << 40}
+      + (CASE WHEN ck % 2 = 0 THEN i >> 22 ELSE i >> 20 END) * {1 << 20}
+      + (CASE WHEN ck % 2 = 0 THEN j >> 22 ELSE j >> 20 END) AS label
+  FROM cij WHERE face = 2
+),
+st AS (
+  SELECT label,
+         iq / POW(2.0, lvl) AS s0, (iq + 1) / POW(2.0, lvl) AS s1,
+         jq / POW(2.0, lvl) AS t0, (jq + 1) / POW(2.0, lvl) AS t1
+  FROM cells
+),
+uv AS (
+  SELECT label,
+         {st2uv.format(s='s0')} AS u0, {st2uv.format(s='s1')} AS u1,
+         {st2uv.format(s='t0')} AS v0, {st2uv.format(s='t1')} AS v1
+  FROM st
+),
+geom AS (SELECT label, u0, u1, v0, v1, {corners} FROM uv),
+edges AS ({_cc_sql_edges()}),
+ed0 AS (
+  SELECT q.query_id, e.label, e.eidx,
+         q.px, q.py, q.pz, e.ax, e.ay, e.az, e.bx, e.by, e.bz,
+         e.ay*e.bz - e.az*e.by AS nx,
+         e.az*e.bx - e.ax*e.bz AS ny,
+         e.ax*e.by - e.ay*e.bx AS nz
+  FROM np q CROSS JOIN edges e
+),
+ed1 AS (
+  SELECT *,
+         (px*nx + py*ny + pz*nz) / (nx*nx + ny*ny + nz*nz) AS proj
+  FROM ed0
+),
+ed2 AS (
+  SELECT *, px - proj*nx AS q0x, py - proj*ny AS q0y, pz - proj*nz AS q0z
+  FROM ed1
+),
+ed3 AS (
+  SELECT *, sqrt(q0x*q0x + q0y*q0y + q0z*q0z) AS qn FROM ed2
+),
+ed4 AS (
+  SELECT query_id, label, eidx, px, py, pz, ax, ay, az, bx, by, bz,
+         nx, ny, nz, qn, q0x/qn AS qx_, q0y/qn AS qy_, q0z/qn AS qz_
+  FROM ed3
+),
+ed5 AS (
+  SELECT query_id, label,
+    CASE WHEN qn > 0
+          AND (ay*qz_ - az*qy_)*nx + (az*qx_ - ax*qz_)*ny + (ax*qy_ - ay*qx_)*nz >= 0
+          AND (qy_*bz - qz_*by)*nx + (qz_*bx - qx_*bz)*ny + (qx_*by - qy_*bx)*nz >= 0
+         THEN (px-qx_)*(px-qx_) + (py-qy_)*(py-qy_) + (pz-qz_)*(pz-qz_)
+         ELSE LEAST((px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az),
+                    (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz))
+    END AS e2
+  FROM ed4
+),
+dmin AS (SELECT query_id, label, MIN(e2) AS d_edge FROM ed5 GROUP BY 1, 2),
+ins AS (
+  SELECT q.query_id, g.label,
+         (q.qface = 2 AND q.qu BETWEEN g.u0 AND g.u1
+                      AND q.qv BETWEEN g.v0 AND g.v1) AS inside
+  FROM np q CROSS JOIN geom g
+),
+d AS (
+  SELECT m.query_id, m.label,
+         CASE WHEN i.inside THEN 0.0 ELSE m.d_edge END AS dist2
+  FROM dmin m JOIN ins i ON i.query_id = m.query_id AND i.label = m.label
+),
+r AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2, label) AS rank
+  FROM d
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, label FROM r WHERE rank <= {_CC_K}
+"""
+
+
 def q_raster_vector(spark, sf_dir):
     """Raster -> vector boundary reconstruction (kernel/rastervec,
     SURVEY §2.3 cells->polygons row): per-set level-8 cell unions from
@@ -2339,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
+        "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
         "s2_chain_interp": q_chain_interp,
@@ -2387,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_hausdorff": o_hausdorff(),
         "s2_density_rollup": o_density_rollup(),
         "s2_union_algebra": o_union_algebra(),
+        "s2_closest_cell": o_closest_cell(),
         "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),
         "s2_chain_interp": o_chain_interp(),
