@@ -1127,6 +1127,160 @@ FROM fij
 """
 
 
+_CAPC_LEVEL = 6
+
+
+def q_cap_covering(spark, sf_dir):
+    """Fixed-level S2RegionCoverer covering of per-nation caps
+    (S2RegionCoverer::GetCovering, src/s2/s2region_coverer.cc:175): with
+    min_level == max_level and an unbinding max_cells the covering is
+    EXACTLY the set of level-L cells intersecting the cap, which the
+    oracle re-derives geometrically — a cell intersects iff the center
+    lies inside it (UV test) or its min boundary-arc distance is within
+    the cap radius (chord-squared comparison). Runs the real kernel
+    coverer per cap in a distributed applyInPandas."""
+    nat = _t(spark, sf_dir, "nation")
+    n = F.col("n_nationkey").cast("long")
+    caps = nat.select(
+        n.alias("cap_id"),
+        geo.lat_col(n * 131 + 17).alias("lat"),
+        geo.lon_col(n * 131 + 17).alias("lon"),
+        (F.lit(2.0) + (n * 37 % 5).cast("double")).alias("radius_deg"),
+    )
+
+    def per_cap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import coverer as _cov
+        from s2geo_spark.kernel import regions as _rg
+
+        row = pdf.iloc[0]
+        cap = _rg.Cap.from_latlng_radius_degrees(
+            row["lat"], row["lon"], row["radius_deg"]
+        )
+        ids = _cov.get_covering(
+            cap, max_cells=100000,
+            min_level=_CAPC_LEVEL, max_level=_CAPC_LEVEL,
+        )
+        f, i, j = v1.to_face_ij_orientation(np.asarray(ids, dtype=np.uint64))
+        s = 30 - _CAPC_LEVEL
+        return pd.DataFrame(
+            {
+                "cap_id": np.full(len(ids), key[0], dtype=np.int64),
+                "face": f.astype(np.int64),
+                "iq": (i >> s).astype(np.int64),
+                "jq": (j >> s).astype(np.int64),
+            }
+        )
+
+    return caps.groupBy("cap_id").applyInPandas(
+        per_cap, "cap_id long, face long, iq long, jq long"
+    )
+
+
+def _capc_corner(axis: str, u: str, v: str) -> str:
+    """xyz component of the (face, u, v) cube point, face_uv_to_xyz table."""
+    num = {
+        "x": f"CASE face WHEN 0 THEN 1 WHEN 1 THEN -{u} WHEN 2 THEN -{u} "
+             f"WHEN 3 THEN -1 WHEN 4 THEN {v} ELSE {v} END",
+        "y": f"CASE face WHEN 0 THEN {u} WHEN 1 THEN 1 WHEN 2 THEN -{v} "
+             f"WHEN 3 THEN -{v} WHEN 4 THEN -1 ELSE {u} END",
+        "z": f"CASE face WHEN 0 THEN {v} WHEN 1 THEN {v} WHEN 2 THEN 1 "
+             f"WHEN 3 THEN -{u} WHEN 4 THEN -{u} ELSE -1 END",
+    }[axis]
+    return f"({num}) / sqrt({u}*{u} + {v}*{v} + 1)"
+
+
+def o_cap_covering():
+    st2uv = (
+        "CASE WHEN {s} >= 0.5 THEN (4*{s}*{s} - 1)/3 "
+        "ELSE -(4*(1-{s})*(1-{s}) - 1)/3 END"
+    )
+    nlat = geo.lat_sql("(CAST(n_nationkey AS BIGINT)*131 + 17)")
+    nlon = geo.lon_sql("(CAST(n_nationkey AS BIGINT)*131 + 17)")
+    L = _CAPC_LEVEL
+    ncells = 1 << L
+    corners = ", ".join(
+        f"{_capc_corner(ax, f'u{ui}', f'v{vi}')} AS {ax}{ui}{vi}"
+        for ui, vi in ((0, 0), (1, 0), (1, 1), (0, 1))
+        for ax in ("x", "y", "z")
+    )
+    edges = " UNION ALL ".join(
+        f"SELECT face, iq, jq, u0, u1, v0, v1, "
+        f"x{a} AS ax, y{a} AS ay, z{a} AS az, "
+        f"x{b} AS bx, y{b} AS by, z{b} AS bz FROM geom"
+        for a, b in (("00", "10"), ("10", "11"), ("11", "01"), ("01", "00"))
+    )
+    return f"""
+WITH caps0 AS (SELECT CAST(n_nationkey AS BIGINT) AS cap_id,
+               {nlat} AS lat, {nlon} AS lon,
+               2.0 + CAST(CAST(n_nationkey AS BIGINT) * 37 % 5 AS DOUBLE) AS rdeg
+               FROM nation),
+caps1 AS (SELECT cap_id, lat, lon,
+                 4 * sin(radians(rdeg)/2) * sin(radians(rdeg)/2) AS r2,
+                 {_XYZ_SQL} FROM caps0),
+capf AS (SELECT *, {_FACE_SQL} AS face FROM caps1),
+capuv AS (SELECT *, {_UV_SQL} FROM capf),
+caps AS (SELECT cap_id, r2, x AS px, y AS py, z AS pz,
+                face AS qface, u AS qu, v AS qv FROM capuv),
+lat0 AS (SELECT f.face, i.iq, j.jq
+         FROM generate_series(0, 5) f(face),
+              generate_series(0, {ncells - 1}) i(iq),
+              generate_series(0, {ncells - 1}) j(jq)),
+st AS (SELECT face, iq, jq,
+              iq / {float(ncells)} AS s0, (iq + 1) / {float(ncells)} AS s1,
+              jq / {float(ncells)} AS t0, (jq + 1) / {float(ncells)} AS t1
+       FROM lat0),
+uv AS (SELECT face, iq, jq,
+              {st2uv.format(s='s0')} AS u0, {st2uv.format(s='s1')} AS u1,
+              {st2uv.format(s='t0')} AS v0, {st2uv.format(s='t1')} AS v1
+       FROM st),
+geom AS (SELECT face, iq, jq, u0, u1, v0, v1, {corners} FROM uv),
+edges AS ({edges}),
+ed0 AS (
+  SELECT c.cap_id, c.r2, e.face, e.iq, e.jq,
+         c.px, c.py, c.pz, e.ax, e.ay, e.az, e.bx, e.by, e.bz,
+         e.ay*e.bz - e.az*e.by AS nx,
+         e.az*e.bx - e.ax*e.bz AS ny,
+         e.ax*e.by - e.ay*e.bx AS nz
+  FROM caps c CROSS JOIN edges e
+),
+ed1 AS (SELECT *, (px*nx + py*ny + pz*nz) / (nx*nx + ny*ny + nz*nz) AS proj FROM ed0),
+ed2 AS (SELECT *, px - proj*nx AS q0x, py - proj*ny AS q0y, pz - proj*nz AS q0z FROM ed1),
+ed3 AS (SELECT *, sqrt(q0x*q0x + q0y*q0y + q0z*q0z) AS qn FROM ed2),
+ed4 AS (SELECT cap_id, r2, face, iq, jq, px, py, pz, ax, ay, az, bx, by, bz,
+               nx, ny, nz, qn, q0x/qn AS qx_, q0y/qn AS qy_, q0z/qn AS qz_
+        FROM ed3),
+ed5 AS (
+  SELECT cap_id, r2, face, iq, jq,
+    CASE WHEN qn > 0
+          AND (ay*qz_ - az*qy_)*nx + (az*qx_ - ax*qz_)*ny + (ax*qy_ - ay*qx_)*nz >= 0
+          AND (qy_*bz - qz_*by)*nx + (qz_*bx - qx_*bz)*ny + (qx_*by - qy_*bx)*nz >= 0
+         THEN (px-qx_)*(px-qx_) + (py-qy_)*(py-qy_) + (pz-qz_)*(pz-qz_)
+         ELSE LEAST((px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az),
+                    (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz))
+    END AS e2
+  FROM ed4
+),
+dmin AS (SELECT cap_id, r2, face, iq, jq, MIN(e2) AS d_edge
+         FROM ed5 GROUP BY 1, 2, 3, 4, 5),
+ins AS (
+  SELECT c.cap_id, g.face, g.iq, g.jq,
+         (c.qface = g.face AND c.qu BETWEEN g.u0 AND g.u1
+                           AND c.qv BETWEEN g.v0 AND g.v1) AS inside
+  FROM caps c CROSS JOIN geom g
+),
+cov AS (
+  SELECT m.cap_id, m.face, m.iq, m.jq
+  FROM dmin m JOIN ins i
+    ON i.cap_id = m.cap_id AND i.face = m.face
+   AND i.iq = m.iq AND i.jq = m.jq
+  WHERE i.inside OR m.d_edge <= m.r2
+)
+SELECT cap_id, CAST(face AS BIGINT) AS face,
+       CAST(iq AS BIGINT) AS iq, CAST(jq AS BIGINT) AS jq
+FROM cov
+"""
+
+
 _CC_K = 3
 
 
@@ -2522,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
+        "s2_cap_covering": q_cap_covering,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
@@ -2571,6 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_hausdorff": o_hausdorff(),
         "s2_density_rollup": o_density_rollup(),
         "s2_union_algebra": o_union_algebra(),
+        "s2_cap_covering": o_cap_covering(),
         "s2_closest_cell": o_closest_cell(),
         "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),
