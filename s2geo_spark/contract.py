@@ -1281,6 +1281,99 @@ FROM cov
 """
 
 
+def q_cap_interior(spark, sf_dir):
+    """Fixed-level INTERIOR covering (GetInteriorCovering,
+    src/s2/s2region_coverer.cc:221): level-L cells fully contained in
+    each cap. The oracle uses that distance-to-an-external-point is
+    quasi-convex along a cell's boundary arcs, so the max over the cell
+    is attained at a corner: contained iff all four corner chord
+    distances are within the cap radius."""
+    nat = _t(spark, sf_dir, "nation")
+    n = F.col("n_nationkey").cast("long")
+    caps = nat.select(
+        n.alias("cap_id"),
+        geo.lat_col(n * 131 + 17).alias("lat"),
+        geo.lon_col(n * 131 + 17).alias("lon"),
+        (F.lit(2.0) + (n * 37 % 5).cast("double")).alias("radius_deg"),
+    )
+
+    def per_cap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import coverer as _cov
+        from s2geo_spark.kernel import regions as _rg
+
+        row = pdf.iloc[0]
+        cap = _rg.Cap.from_latlng_radius_degrees(
+            row["lat"], row["lon"], row["radius_deg"]
+        )
+        ids = _cov.get_covering(
+            cap, max_cells=100000,
+            min_level=_CAPC_LEVEL, max_level=_CAPC_LEVEL, interior=True,
+        )
+        f, i, j = v1.to_face_ij_orientation(np.asarray(ids, dtype=np.uint64))
+        s = 30 - _CAPC_LEVEL
+        return pd.DataFrame(
+            {
+                "cap_id": np.full(len(ids), key[0], dtype=np.int64),
+                "face": f.astype(np.int64),
+                "iq": (i >> s).astype(np.int64),
+                "jq": (j >> s).astype(np.int64),
+            }
+        )
+
+    return caps.groupBy("cap_id").applyInPandas(
+        per_cap, "cap_id long, face long, iq long, jq long"
+    )
+
+
+def o_cap_interior():
+    st2uv = (
+        "CASE WHEN {s} >= 0.5 THEN (4*{s}*{s} - 1)/3 "
+        "ELSE -(4*(1-{s})*(1-{s}) - 1)/3 END"
+    )
+    nlat = geo.lat_sql("(CAST(n_nationkey AS BIGINT)*131 + 17)")
+    nlon = geo.lon_sql("(CAST(n_nationkey AS BIGINT)*131 + 17)")
+    L = _CAPC_LEVEL
+    ncells = 1 << L
+    corners = ", ".join(
+        f"{_capc_corner(ax, f'u{ui}', f'v{vi}')} AS {ax}{ui}{vi}"
+        for ui, vi in ((0, 0), (1, 0), (1, 1), (0, 1))
+        for ax in ("x", "y", "z")
+    )
+    corner_d2 = " , ".join(
+        f"(px-x{t})*(px-x{t}) + (py-y{t})*(py-y{t}) + (pz-z{t})*(pz-z{t}) AS d{t}"
+        for t in ("00", "10", "11", "01")
+    )
+    return f"""
+WITH caps0 AS (SELECT CAST(n_nationkey AS BIGINT) AS cap_id,
+               {nlat} AS lat, {nlon} AS lon,
+               2.0 + CAST(CAST(n_nationkey AS BIGINT) * 37 % 5 AS DOUBLE) AS rdeg
+               FROM nation),
+caps AS (SELECT cap_id,
+                4 * sin(radians(rdeg)/2) * sin(radians(rdeg)/2) AS r2,
+                {_XYZ_SQL.replace('AS x', 'AS px').replace('AS y', 'AS py').replace('AS z', 'AS pz')}
+         FROM caps0),
+lat0 AS (SELECT f.face, i.iq, j.jq
+         FROM generate_series(0, 5) f(face),
+              generate_series(0, {ncells - 1}) i(iq),
+              generate_series(0, {ncells - 1}) j(jq)),
+st AS (SELECT face, iq, jq,
+              iq / {float(ncells)} AS s0, (iq + 1) / {float(ncells)} AS s1,
+              jq / {float(ncells)} AS t0, (jq + 1) / {float(ncells)} AS t1
+       FROM lat0),
+uv AS (SELECT face, iq, jq,
+              {st2uv.format(s='s0')} AS u0, {st2uv.format(s='s1')} AS u1,
+              {st2uv.format(s='t0')} AS v0, {st2uv.format(s='t1')} AS v1
+       FROM st),
+geom AS (SELECT face, iq, jq, {corners} FROM uv),
+d AS (SELECT c.cap_id, c.r2, g.face, g.iq, g.jq, {corner_d2}
+      FROM caps c CROSS JOIN geom g)
+SELECT cap_id, CAST(face AS BIGINT) AS face,
+       CAST(iq AS BIGINT) AS iq, CAST(jq AS BIGINT) AS jq
+FROM d
+WHERE d00 <= r2 AND d10 <= r2 AND d11 <= r2 AND d01 <= r2
+"""
+
+
 _CC_K = 3
 
 
@@ -2677,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
         "s2_cap_covering": q_cap_covering,
+        "s2_cap_interior": q_cap_interior,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
@@ -2727,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_density_rollup": o_density_rollup(),
         "s2_union_algebra": o_union_algebra(),
         "s2_cap_covering": o_cap_covering(),
+        "s2_cap_interior": o_cap_interior(),
         "s2_closest_cell": o_closest_cell(),
         "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),
