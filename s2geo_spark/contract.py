@@ -1629,6 +1629,116 @@ LEFT JOIN adj a USING (set_id)
     )
 
 
+_DTW_NA, _DTW_NB = 6, 7
+_DTW_QUANTUM = 1e-9
+
+
+def _dtw_key_a(i: int) -> str:
+    return f"(CAST(n_nationkey AS BIGINT)*1000 + {i * 37 + 11})"
+
+
+def _dtw_key_b(i: int) -> str:
+    return f"(CAST(n_nationkey AS BIGINT)*2000 + {i * 53 + 29})"
+
+
+def q_dtw(spark, sf_dir):
+    """Exact DTW polyline alignment (PolylineAlignment,
+    src/s2/s2polyline_alignment.cc ExactVertexAlignment) between two
+    per-nation polylines. Cell costs are quantized to integer multiples
+    of 1e-9 chord-squared (kernel cost_quantum), making the min-plus DP
+    association-free — the oracle reruns the SAME DP in SQL via a
+    prefix-sum min-plus recursion and must match the total exactly."""
+    from s2geo_spark.kernel import polyline as poly_k
+    from s2geo_spark.kernel import s2coords as s2c
+
+    n = F.col("n_nationkey").cast("long")
+
+    def verts(keyfn, count):
+        return F.array(
+            *[
+                F.array(
+                    geo.lat_col(F.expr(keyfn(i))),
+                    geo.lon_col(F.expr(keyfn(i))),
+                )
+                for i in range(count)
+            ]
+        )
+
+    lines = _t(spark, sf_dir, "nation").select(
+        n.alias("line_id"),
+        verts(_dtw_key_a, _DTW_NA).alias("va"),
+        verts(_dtw_key_b, _DTW_NB).alias("vb"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_costs = [], []
+            for _, row in pdf.iterrows():
+                va = np.stack([np.asarray(p, dtype=np.float64) for p in row["va"]])
+                vb = np.stack([np.asarray(p, dtype=np.float64) for p in row["vb"]])
+                ax, ay, az = s2c.latlng_degrees_to_xyz(va[:, 0], va[:, 1])
+                bx, by, bz = s2c.latlng_degrees_to_xyz(vb[:, 0], vb[:, 1])
+                cost, _path = poly_k.dtw_alignment(
+                    np.stack([ax, ay, az], axis=1),
+                    np.stack([bx, by, bz], axis=1),
+                    cost_quantum=_DTW_QUANTUM,
+                )
+                out_ids.append(row["line_id"])
+                out_costs.append(int(cost))
+            yield pd.DataFrame({"line_id": out_ids, "dtw_cost_q": out_costs})
+
+    return lines.mapInPandas(run, "line_id long, dtw_cost_q long")
+
+
+def o_dtw():
+    va = " UNION ALL ".join(
+        f"SELECT CAST(n_nationkey AS BIGINT) AS line_id, {i} AS i, "
+        f"{geo.lat_sql(_dtw_key_a(i))} AS lat, {geo.lon_sql(_dtw_key_a(i))} AS lon "
+        "FROM nation"
+        for i in range(_DTW_NA)
+    )
+    vb = " UNION ALL ".join(
+        f"SELECT CAST(n_nationkey AS BIGINT) AS line_id, {i} AS j, "
+        f"{geo.lat_sql(_dtw_key_b(i))} AS lat, {geo.lon_sql(_dtw_key_b(i))} AS lon "
+        "FROM nation"
+        for i in range(_DTW_NB)
+    )
+    return f"""
+WITH RECURSIVE
+av0 AS ({va}), bv0 AS ({vb}),
+av AS (SELECT line_id, i, {_XYZ_SQL} FROM av0),
+bv AS (SELECT line_id, j, {_XYZ_SQL} FROM bv0),
+costs AS (
+  SELECT a.line_id, a.i, b.j,
+         CAST(round(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                   + (a.z-b.z)*(a.z-b.z)) / {_DTW_QUANTUM!r}) AS BIGINT) AS cq
+  FROM av a JOIN bv b ON b.line_id = a.line_id
+),
+cp AS (
+  SELECT *, SUM(cq) OVER (PARTITION BY line_id, i ORDER BY j) AS pref
+  FROM costs
+),
+dp AS (
+  -- row 0: only right-moves, so dp(0, j) is the row-0 prefix sum
+  SELECT line_id, 0 AS i, j, pref AS cost FROM cp WHERE i = 0
+  UNION ALL
+  -- row i+1 from row i via the min-plus prefix form: a monotone path
+  -- enters row i+1 at column k (from (i, k) or (i, k-1)) and then moves
+  -- right, so cost(i+1, j) = min over k <= j of
+  --   min(dp(i,k), dp(i,k-1)) + pref(i+1, j) - pref(i+1, k-1)
+  SELECT tgt.line_id, tgt.i, tgt.j,
+         MIN(d.cost + tgt.pref - (kk.pref - kk.cq)) AS cost
+  FROM cp tgt
+  JOIN cp kk ON kk.line_id = tgt.line_id AND kk.i = tgt.i AND kk.j <= tgt.j
+  JOIN dp d ON d.line_id = tgt.line_id AND d.i = tgt.i - 1
+           AND d.j IN (kk.j, kk.j - 1)
+  GROUP BY tgt.line_id, tgt.i, tgt.j
+)
+SELECT line_id, CAST(cost AS BIGINT) AS dtw_cost_q
+FROM dp WHERE i = {_DTW_NA - 1} AND j = {_DTW_NB - 1}
+"""
+
+
 # Cell-union set algebra fixture: synthetic mixed-level (8 and 10) cell
 # sets built ARITHMETICALLY from customer/supplier keys inside one small
 # curve-position domain, so a SQL oracle can rebuild the exact inputs and
@@ -2771,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_union_algebra": q_union_algebra,
         "s2_cap_covering": q_cap_covering,
         "s2_cap_interior": q_cap_interior,
+        "s2_dtw_align": q_dtw,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
@@ -2822,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_union_algebra": o_union_algebra(),
         "s2_cap_covering": o_cap_covering(),
         "s2_cap_interior": o_cap_interior(),
+        "s2_dtw_align": o_dtw(),
         "s2_closest_cell": o_closest_cell(),
         "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),

@@ -104,15 +104,23 @@ def tessellate_edge(a: np.ndarray, b: np.ndarray, tolerance_rad: float,
     return np.array(out)
 
 
-def dtw_alignment(a: np.ndarray, b: np.ndarray):
+def dtw_alignment(a: np.ndarray, b: np.ndarray, cost_quantum: float | None = None):
     """Exact dynamic-time-warping vertex alignment of two polylines
     (s2polyline_alignment.cc ExactVertexAlignment): monotone path through
     the (len(a) x len(b)) squared-chord cost matrix, steps right/down/
-    diagonal. Returns (total_cost, path list of (i, j))."""
+    diagonal. Returns (total_cost, path list of (i, j)).
+
+    cost_quantum rounds each cell cost to an integer multiple of the
+    quantum before the DP; integer min-plus is association-free, so an
+    independently-ordered implementation (e.g. a SQL oracle's prefix-sum
+    formulation) reproduces the total exactly."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     na, nb = a.shape[0], b.shape[0]
     cost = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)  # (na, nb)
+    if cost_quantum is not None:
+        # half-up (costs are non-negative), matching SQL round()
+        cost = np.floor(cost / cost_quantum + 0.5)
     dp = np.full((na, nb), np.inf)
     dp[0, 0] = cost[0, 0]
     for i in range(na):
