@@ -1629,6 +1629,119 @@ LEFT JOIN adj a USING (set_id)
     )
 
 
+_SIMP_N = 10
+_SIMP_TOL_RAD = 0.005
+
+
+def q_simplify(spark, sf_dir):
+    """Greedy polyline simplification (S2Polyline::SubsampleVertices,
+    src/s2/s2polyline.cc:700+): per-nation wiggly polylines subsampled at
+    a fixed chord tolerance; emits the kept vertex indices. The oracle
+    reruns the same greedy walk in SQL — per-anchor first-failure scan
+    (min bad j minus one) iterated as a recursive CTE, with the exact
+    point-to-edge chord distance formula."""
+    from s2geo_spark.kernel import polyline as poly_k
+    from s2geo_spark.kernel import s2coords as s2c
+
+    lines = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("line_id")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs = [], []
+            for _, row in pdf.iterrows():
+                nk = int(row["line_id"])
+                t = np.arange(_SIMP_N, dtype=np.int64)
+                lat = 10.0 + 2.0 * t + ((nk * 31 + t * 7) % 100) / 200.0
+                lon = 3.0 * nk + 3.0 * t + ((nk * 17 + t * 13) % 100) / 100.0
+                x, y, z = s2c.latlng_degrees_to_xyz(lat.astype(float), lon.astype(float))
+                keep = poly_k.simplify_polyline(
+                    np.stack([x, y, z], axis=1), _SIMP_TOL_RAD,
+                    return_indices=True,
+                )
+                ids.extend([nk] * len(keep))
+                idxs.extend(int(k) for k in keep)
+            yield pd.DataFrame({"line_id": ids, "kept_idx": idxs})
+
+    return lines.mapInPandas(run, "line_id long, kept_idx long")
+
+
+def o_simplify():
+    n = _SIMP_N
+    tol2 = repr(float((2.0 * np.sin(0.5 * _SIMP_TOL_RAD)) ** 2))
+    verts = " UNION ALL ".join(
+        f"SELECT CAST(n_nationkey AS BIGINT) AS line_id, {t} AS t, "
+        f"10.0 + 2.0*{t} + ((CAST(n_nationkey AS BIGINT)*31 + {t * 7}) % 100) / 200.0 AS lat, "
+        f"3.0*CAST(n_nationkey AS BIGINT) + 3.0*{t} + "
+        f"((CAST(n_nationkey AS BIGINT)*17 + {t * 13}) % 100) / 100.0 AS lon "
+        "FROM nation"
+        for t in range(n)
+    )
+    return f"""
+WITH RECURSIVE
+v0 AS ({verts}),
+v AS (SELECT line_id, t, {_XYZ_SQL} FROM v0),
+-- all (anchor i, endpoint j, intermediate t) distance tests
+trip AS (
+  SELECT a.line_id, a.t AS i, b.t AS j, m.t AS mt,
+         a.x AS ax, a.y AS ay, a.z AS az,
+         b.x AS bx, b.y AS by, b.z AS bz,
+         m.x AS px, m.y AS py, m.z AS pz
+  FROM v a
+  JOIN v b ON b.line_id = a.line_id AND b.t >= a.t + 2
+  JOIN v m ON m.line_id = a.line_id AND m.t > a.t AND m.t < b.t
+),
+tn AS (
+  SELECT *,
+         ay*bz - az*by AS cnx, az*bx - ax*bz AS cny, ax*by - ay*bx AS cnz
+  FROM trip
+),
+tn2 AS (
+  SELECT *, sqrt(cnx*cnx + cny*cny + cnz*cnz) AS nn FROM tn
+),
+td AS (
+  SELECT line_id, i, j, mt,
+         (px*cnx + py*cny + pz*cnz) / nn AS xn,
+         ((ay*pz - az*py)*cnx + (az*px - ax*pz)*cny + (ax*py - ay*px)*cnz) / nn AS ax_n,
+         ((py*bz - pz*by)*cnx + (pz*bx - px*bz)*cny + (px*by - py*bx)*cnz) / nn AS xb_n,
+         (px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az) AS d_a,
+         (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz) AS d_b
+  FROM tn2
+),
+tdist AS (
+  SELECT line_id, i, j, mt,
+         CASE WHEN ax_n > 0 AND xb_n > 0
+              THEN LEAST(2.0 - 2.0*sqrt(GREATEST(0.0, 1.0 - LEAST(xn*xn, 1.0))),
+                         LEAST(d_a, d_b))
+              ELSE LEAST(d_a, d_b) END AS d2
+  FROM td
+),
+okp AS (
+  SELECT line_id, i, j, BOOL_AND(d2 <= {tol2}) AS ok
+  FROM tdist GROUP BY line_id, i, j
+),
+nxt AS (
+  SELECT line_id, i, MIN(CASE WHEN NOT ok THEN j END) - 1 AS first_bad_minus1
+  FROM okp GROUP BY line_id, i
+),
+walk AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS line_id, CAST(0 AS BIGINT) AS idx
+  FROM nation
+  UNION ALL
+  SELECT w.line_id,
+         COALESCE(
+           CASE WHEN nx.first_bad_minus1 IS NOT NULL
+                THEN GREATEST(nx.first_bad_minus1, w.idx + 1)
+                ELSE {n - 1} END,
+           {n - 1})
+  FROM walk w LEFT JOIN nxt nx ON nx.line_id = w.line_id AND nx.i = w.idx
+  WHERE w.idx < {n - 1}
+)
+SELECT line_id, idx AS kept_idx FROM walk
+"""
+
+
 _DTW_NA, _DTW_NB = 6, 7
 _DTW_QUANTUM = 1e-9
 
@@ -2882,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_covering": q_cap_covering,
         "s2_cap_interior": q_cap_interior,
         "s2_dtw_align": q_dtw,
+        "s2_simplify": q_simplify,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
@@ -2934,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cap_covering": o_cap_covering(),
         "s2_cap_interior": o_cap_interior(),
         "s2_dtw_align": o_dtw(),
+        "s2_simplify": o_simplify(),
         "s2_closest_cell": o_closest_cell(),
         "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),

@@ -27,14 +27,17 @@ import numpy as np
 from . import cellunion, coverer, edges as ek, rastervec
 
 
-def simplify_polyline(vertices: np.ndarray, tolerance_rad: float) -> np.ndarray:
+def simplify_polyline(
+    vertices: np.ndarray, tolerance_rad: float, return_indices: bool = False
+):
     """Greedy subsample: keep the first vertex, then repeatedly extend the
     current edge as far as possible while every skipped vertex stays
-    within tolerance (chord) of it."""
+    within tolerance (chord) of it. return_indices yields the kept
+    vertex indices instead of the vertices (for integer oracles)."""
     v = np.asarray(vertices, dtype=np.float64)
     n = v.shape[0]
     if n <= 2:
-        return v
+        return np.arange(n) if return_indices else v
     tol_chord2 = float((2.0 * np.sin(0.5 * tolerance_rad)) ** 2)
     keep = [0]
     i = 0
@@ -53,6 +56,8 @@ def simplify_polyline(vertices: np.ndarray, tolerance_rad: float) -> np.ndarray:
                 break
         keep.append(best)
         i = best
+    if return_indices:
+        return np.asarray(keep, dtype=np.int64)
     return v[keep]
 
 
