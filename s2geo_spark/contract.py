@@ -1742,6 +1742,120 @@ SELECT line_id, idx AS kept_idx FROM walk
 """
 
 
+_TESS_TOL_RAD = 0.002
+
+
+def q_tessellate(spark, sf_dir):
+    """Adaptive geodesic tessellation for the plate-carree projection
+    (S2EdgeTessellator, src/s2/s2edge_tessellator.cc): one edge per
+    nation, subdivided until the projected midpoint error is within
+    tolerance; emits the resulting vertex count. The oracle replays the
+    SAME adaptive bisection as a recursive CTE — identical midpoint,
+    wraparound, and error formulas — and counts the leaf segments."""
+    from s2geo_spark.kernel import polyline as poly_k
+    from s2geo_spark.kernel import s2coords as s2c
+
+    lines = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("line_id")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, counts = [], []
+            for _, row in pdf.iterrows():
+                nk = int(row["line_id"])
+                la, lo = geo.lat_lon_values(np.array([nk * 48271 + 7, nk * 92821 + 13]))
+                x, y, z = s2c.latlng_degrees_to_xyz(la, lo)
+                verts = poly_k.tessellate_edge(
+                    np.array([x[0], y[0], z[0]]),
+                    np.array([x[1], y[1], z[1]]),
+                    _TESS_TOL_RAD,
+                )
+                ids.append(nk)
+                counts.append(len(verts))
+            yield pd.DataFrame({"line_id": ids, "n_vertices": counts})
+
+    return lines.mapInPandas(run, "line_id long, n_vertices long")
+
+
+def o_tessellate():
+    ka = "(CAST(n_nationkey AS BIGINT)*48271 + 7)"
+    kb = "(CAST(n_nationkey AS BIGINT)*92821 + 13)"
+    wrap = (
+        "CASE WHEN {d} > pi() THEN {d} - 2*pi() "
+        "WHEN {d} < -pi() THEN {d} + 2*pi() ELSE {d} END"
+    )
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS line_id,
+         {geo.lat_sql(ka)} AS lat_a, {geo.lon_sql(ka)} AS lon_a,
+         {geo.lat_sql(kb)} AS lat_b, {geo.lon_sql(kb)} AS lon_b
+  FROM nation
+),
+e1 AS (
+  SELECT line_id,
+         cos(radians(lat_a))*cos(radians(lon_a)) AS ax,
+         sin(radians(lon_a))*cos(radians(lat_a)) AS ay,
+         sin(radians(lat_a)) AS az,
+         cos(radians(lat_b))*cos(radians(lon_b)) AS bx,
+         sin(radians(lon_b))*cos(radians(lat_b)) AS by,
+         sin(radians(lat_b)) AS bz
+  FROM e0
+),
+seg AS (
+  SELECT line_id, ax, ay, az, bx, by, bz, 0 AS depth FROM e1
+  UNION ALL
+  SELECT t.line_id,
+         CASE v.side WHEN 0 THEN t.ax ELSE t.mx END,
+         CASE v.side WHEN 0 THEN t.ay ELSE t.my END,
+         CASE v.side WHEN 0 THEN t.az ELSE t.mz END,
+         CASE v.side WHEN 0 THEN t.mx ELSE t.bx END,
+         CASE v.side WHEN 0 THEN t.my ELSE t.by END,
+         CASE v.side WHEN 0 THEN t.mz ELSE t.bz END,
+         t.depth + 1
+  FROM (
+    SELECT s.*,
+           (s.ax+s.bx)/sqrt((s.ax+s.bx)*(s.ax+s.bx)+(s.ay+s.by)*(s.ay+s.by)+(s.az+s.bz)*(s.az+s.bz)) AS mx,
+           (s.ay+s.by)/sqrt((s.ax+s.bx)*(s.ax+s.bx)+(s.ay+s.by)*(s.ay+s.by)+(s.az+s.bz)*(s.az+s.bz)) AS my,
+           (s.az+s.bz)/sqrt((s.ax+s.bx)*(s.ax+s.bx)+(s.ay+s.by)*(s.ay+s.by)+(s.az+s.bz)*(s.az+s.bz)) AS mz
+    FROM seg s
+  ) t, (VALUES (0), (1)) v(side)
+  WHERE t.depth < 20 AND (
+    SELECT sqrt(dlat*dlat + dmid2*dmid2) FROM (
+      SELECT plat_m - 0.5*(plat_p + plat_q) AS dlat,
+             ({wrap.format(d="plng_m - (plng_p + 0.5*({dl}))").format(dl=wrap.format(d='plng_q - plng_p'))}) * cos(plat_m) AS dmid2
+      FROM (
+        SELECT asin(LEAST(1.0, GREATEST(-1.0, t.az))) AS plat_p, atan2(t.ay, t.ax) AS plng_p,
+               asin(LEAST(1.0, GREATEST(-1.0, t.bz))) AS plat_q, atan2(t.by, t.bx) AS plng_q,
+               asin(LEAST(1.0, GREATEST(-1.0, t.mz))) AS plat_m, atan2(t.my, t.mx) AS plng_m
+      ) pr
+    ) er
+  ) > {_TESS_TOL_RAD!r}
+)
+SELECT line_id, CAST(count(*) + 1 AS BIGINT) AS n_vertices
+FROM (
+  SELECT s.line_id,
+         (s.ax+s.bx)/sqrt((s.ax+s.bx)*(s.ax+s.bx)+(s.ay+s.by)*(s.ay+s.by)+(s.az+s.bz)*(s.az+s.bz)) AS mx,
+         (s.ay+s.by)/sqrt((s.ax+s.bx)*(s.ax+s.bx)+(s.ay+s.by)*(s.ay+s.by)+(s.az+s.bz)*(s.az+s.bz)) AS my,
+         (s.az+s.bz)/sqrt((s.ax+s.bx)*(s.ax+s.bx)+(s.ay+s.by)*(s.ay+s.by)+(s.az+s.bz)*(s.az+s.bz)) AS mz,
+         s.ax, s.ay, s.az, s.bx, s.by, s.bz, s.depth
+  FROM seg s
+) t
+WHERE t.depth >= 20 OR (
+  SELECT sqrt(dlat*dlat + dmid2*dmid2) FROM (
+    SELECT plat_m - 0.5*(plat_p + plat_q) AS dlat,
+           ({wrap.format(d="plng_m - (plng_p + 0.5*({dl}))").format(dl=wrap.format(d='plng_q - plng_p'))}) * cos(plat_m) AS dmid2
+    FROM (
+      SELECT asin(LEAST(1.0, GREATEST(-1.0, t.az))) AS plat_p, atan2(t.ay, t.ax) AS plng_p,
+             asin(LEAST(1.0, GREATEST(-1.0, t.bz))) AS plat_q, atan2(t.by, t.bx) AS plng_q,
+             asin(LEAST(1.0, GREATEST(-1.0, t.mz))) AS plat_m, atan2(t.my, t.mx) AS plng_m
+    ) pr
+  ) er
+) <= {_TESS_TOL_RAD!r}
+GROUP BY line_id
+"""
+
+
 _DTW_NA, _DTW_NB = 6, 7
 _DTW_QUANTUM = 1e-9
 
@@ -2996,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_interior": q_cap_interior,
         "s2_dtw_align": q_dtw,
         "s2_simplify": q_simplify,
+        "s2_tessellate": q_tessellate,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
@@ -3049,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cap_interior": o_cap_interior(),
         "s2_dtw_align": o_dtw(),
         "s2_simplify": o_simplify(),
+        "s2_tessellate": o_tessellate(),
         "s2_closest_cell": o_closest_cell(),
         "s2_raster_vector": o_raster_vector(),
         "s2_convex_hull": o_convex_hull(),

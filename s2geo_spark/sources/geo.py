@@ -39,6 +39,16 @@ def lon_sql(key: str) -> str:
     return f"((CAST({key} AS BIGINT) * {_LON_MUL}) % {_LON_MOD}) / 100000.0 - 180.0"
 
 
+def lat_lon_values(keys):
+    """NumPy twin of lat_col/lon_col for worker-side fixture builders."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64)
+    lat = ((k * _LAT_MUL) % _LAT_MOD) / 100_000.0 - 85.0
+    lon = ((k * _LON_MUL) % _LON_MOD) / 100_000.0 - 180.0
+    return lat, lon
+
+
 def points_from(df, key: str, id_alias: str = "point_id"):
     """Attach deterministic (lat, lon) to any keyed table."""
     return df.select(
