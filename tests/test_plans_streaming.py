@@ -170,6 +170,61 @@ class TestStreaming:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_spatial_join_stream_multibatch(self, spark):
+        """Stream-static indexed PIP join across SEVERAL micro-batches
+        (6 files, maxFilesPerTrigger=4) must reproduce the batch
+        operator's rows exactly — the s2_stream_tiles contract query
+        drives a single batch; this pins the multi-batch path."""
+        from s2geo_spark import contract
+
+        tmp = tempfile.mkdtemp()
+        try:
+            pages = pages_src.synth_pages(spark, 3000)
+            pages.repartition(6).write.mode("overwrite").parquet(f"{tmp}/pages")
+            index = contract._pip_index(spark)
+
+            stream = stream_pipe.stream_pages(spark, f"{tmp}/pages")
+            geo_s = pages_src.extract_geo(stream).filter(
+                F.col("lat").isNotNull()
+            )
+            pts_s = geo_s.select(
+                F.col("url").alias("point_id"), "lat", "lon"
+            )
+            joined = stream_pipe.spatial_join_stream(pts_s, index, tile_level=8)
+            counts = joined.groupBy("polygon_id", "tile").agg(
+                F.count("*").alias("n")
+            )
+            stream_pipe.run_to_memory(
+                counts, "sjoin_stream", mode="complete"
+            )
+            got = (
+                spark.table("sjoin_stream")
+                .orderBy("polygon_id", "tile")
+                .toPandas()
+            )
+
+            batch_geo = pages_src.extract_geo(
+                spark.read.parquet(f"{tmp}/pages")
+            ).filter(F.col("lat").isNotNull())
+            pts_b = batch_geo.select(
+                F.col("url").alias("point_id"), "lat", "lon"
+            )
+            from s2geo_spark.operators import spatial
+
+            want = (
+                spatial.contains_join_indexed(pts_b, index, emit_cell=True)
+                .withColumn("tile", sf.tile_assign("cell", 8))
+                .groupBy("polygon_id", "tile")
+                .agg(F.count("*").alias("n"))
+                .orderBy("polygon_id", "tile")
+                .toPandas()
+            )
+            assert len(got) == len(want) > 0
+            for c in ("polygon_id", "tile", "n"):
+                assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_windowed_counts(self, spark):
         tmp = tempfile.mkdtemp()
         try:
