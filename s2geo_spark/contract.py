@@ -1281,6 +1281,50 @@ FROM cov
 """
 
 
+def q_simple_covering(spark, sf_dir):
+    """GetSimpleCovering / FloodFill (S2::GetSimpleCovering,
+    src/s2/s2region_coverer.cc:518-556): BFS over same-level neighbors
+    from the cell containing the cap center. A cap's intersecting cell
+    set is edge-connected, so the flood fill must find EXACTLY the cells
+    the priority-queue coverer finds — the oracle is the same geometric
+    SQL as s2_cap_covering, but the Spark side exercises the neighbor
+    walk (including cross-face seams) instead of the subdivision queue."""
+    nat = _t(spark, sf_dir, "nation")
+    n = F.col("n_nationkey").cast("long")
+    caps = nat.select(
+        n.alias("cap_id"),
+        geo.lat_col(n * 131 + 17).alias("lat"),
+        geo.lon_col(n * 131 + 17).alias("lon"),
+        (F.lit(2.0) + (n * 37 % 5).cast("double")).alias("radius_deg"),
+    )
+
+    def per_cap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import coverer as _cov
+        from s2geo_spark.kernel import regions as _rg
+
+        row = pdf.iloc[0]
+        cap = _rg.Cap.from_latlng_radius_degrees(
+            row["lat"], row["lon"], row["radius_deg"]
+        )
+        ids = _cov.simple_covering(
+            cap, float(row["lat"]), float(row["lon"]), _CAPC_LEVEL
+        )
+        f, i, j = v1.to_face_ij_orientation(np.asarray(ids, dtype=np.uint64))
+        s = 30 - _CAPC_LEVEL
+        return pd.DataFrame(
+            {
+                "cap_id": np.full(len(ids), key[0], dtype=np.int64),
+                "face": f.astype(np.int64),
+                "iq": (i >> s).astype(np.int64),
+                "jq": (j >> s).astype(np.int64),
+            }
+        )
+
+    return caps.groupBy("cap_id").applyInPandas(
+        per_cap, "cap_id long, face long, iq long, jq long"
+    )
+
+
 def q_cap_interior(spark, sf_dir):
     """Fixed-level INTERIOR covering (GetInteriorCovering,
     src/s2/s2region_coverer.cc:221): level-L cells fully contained in
@@ -3108,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_union_algebra": q_union_algebra,
         "s2_cap_covering": q_cap_covering,
         "s2_cap_interior": q_cap_interior,
+        "s2_simple_covering": q_simple_covering,
         "s2_dtw_align": q_dtw,
         "s2_simplify": q_simplify,
         "s2_tessellate": q_tessellate,
@@ -3162,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_union_algebra": o_union_algebra(),
         "s2_cap_covering": o_cap_covering(),
         "s2_cap_interior": o_cap_interior(),
+        "s2_simple_covering": o_cap_covering(),
         "s2_dtw_align": o_dtw(),
         "s2_simplify": o_simplify(),
         "s2_tessellate": o_tessellate(),
