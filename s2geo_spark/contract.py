@@ -2091,6 +2091,134 @@ def q_union_algebra(spark, sf_dir):
     )
 
 
+def _alg_sql_lattice() -> str:
+    """All domain cells at levels 6..10 as (cell, lsb) rows."""
+    return " UNION ALL ".join(
+        f"SELECT CAST(p AS BIGINT) * {2 * _alg_lsb(lv)} + {_alg_lsb(lv)} AS cell, "
+        f"CAST({_alg_lsb(lv)} AS BIGINT) AS lsb "
+        f"FROM generate_series(0, {_ALG_DOM // 4 ** (10 - lv) - 1}) t{lv}(p)"
+        for lv in range(6, 11)
+    )
+
+
+_CANON_MAX_CELLS = 12
+
+
+def q_canonicalize(spark, sf_dir):
+    """CanonicalizeCovering (S2RegionCoverer::CanonicalizeCovering,
+    src/s2/s2region_coverer.cc:362-516) over the synthetic mixed-level
+    sets: normalize, then while over max_cells merge the adjacent pair
+    with the deepest common ancestor, re-normalizing after each merge.
+    Emits the final cells; the oracle replays the SAME greedy loop as a
+    recursive CTE — LEAD adjacency, arithmetic common-ancestor level,
+    windowed argmin tie rule, and bounded drop/collapse normalization
+    passes — entirely in integer arithmetic."""
+    from s2geo_spark.kernel import coverer as _cov
+
+    raw = _alg_raw(spark, sf_dir, "customer", "c_custkey", 7)
+
+    def per_set(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(pdf["cell"].to_numpy().view(np.uint64))
+        out = _cov.canonicalize_covering(ids, max_cells=_CANON_MAX_CELLS)
+        return pd.DataFrame(
+            {"set_id": np.full(len(out), key[0], dtype=np.int64),
+             "cell": out.view(np.int64)}
+        )
+
+    return raw.groupBy("set_id").applyInPandas(
+        per_set, "set_id long, cell long"
+    )
+
+
+def _canon_pass(src: str) -> str:
+    """One normalization pass over (set_id, step, cell) rows: drop
+    duplicate/contained cells (interval-nesting running max — ranges are
+    nested-or-disjoint), then collapse complete sibling quads (windowed
+    sibling count). References src exactly ONCE so chained passes stay
+    linear in query size."""
+    return f"""
+SELECT DISTINCT set_id, step,
+       CASE WHEN cnt4 = 4 THEN par ELSE cell END AS cell
+FROM (
+  SELECT set_id, step, cell, par, clsb,
+         COUNT(*) OVER (PARTITION BY set_id, step, par, clsb) AS cnt4
+  FROM (
+    SELECT set_id, step, cell,
+           cell - (cell % (8 * (cell & -cell))) + 4 * (cell & -cell) AS par,
+           (cell & -cell) AS clsb
+    FROM (
+      SELECT set_id, step, cell, rmax,
+             MAX(rmax) OVER (PARTITION BY set_id, step
+                             ORDER BY rmin ASC, lsb DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_rmax
+      FROM (
+        SELECT DISTINCT set_id, step, cell,
+               cell - (cell & -cell) + 1 AS rmin,
+               cell + (cell & -cell) - 1 AS rmax,
+               (cell & -cell) AS lsb
+        FROM ({src}) s0
+      ) s1
+    ) s2
+    WHERE prev_rmax IS NULL OR prev_rmax < rmax
+  ) s3
+) s4"""
+
+
+def o_canonicalize():
+    lv_values = ", ".join(f"({_alg_lsb(L)})" for L in range(0, 11))
+    # merged next-step rows from the current working set
+    merge = f"""
+SELECT x.set_id, x.step + 1 AS step,
+       CASE WHEN x.cell = bb.a
+            THEN bb.a - (bb.a % (2 * bb.alsb)) + bb.alsb
+            ELSE x.cell END AS cell
+FROM (SELECT set_id, step, cell,
+             COUNT(*) OVER (PARTITION BY set_id) AS cnt FROM cc) x
+JOIN (
+  SELECT set_id, a, b, alsb FROM (
+    SELECT set_id, a, b, alsb,
+           row_number() OVER (PARTITION BY set_id ORDER BY alsb ASC, a ASC) AS rk
+    FROM (
+      SELECT set_id, a, b,
+             (SELECT MIN(lv.lsbL)
+              FROM (VALUES {lv_values}) lv(lsbL)
+              WHERE lv.lsbL >= (p.a & -p.a) AND lv.lsbL >= (p.b & -p.b)
+                AND p.a - (p.a % (2 * lv.lsbL)) + lv.lsbL
+                  = p.b - (p.b % (2 * lv.lsbL)) + lv.lsbL) AS alsb
+      FROM (
+        SELECT set_id, cell AS a,
+               LEAD(cell) OVER (PARTITION BY set_id ORDER BY cell) AS b,
+               COUNT(*) OVER (PARTITION BY set_id) AS cnt
+        FROM cc
+      ) p
+      WHERE p.b IS NOT NULL AND p.cnt > {_CANON_MAX_CELLS}
+    ) q WHERE alsb IS NOT NULL
+  ) r WHERE rk = 1
+) bb ON bb.set_id = x.set_id
+WHERE x.cell <> bb.b AND x.cnt > {_CANON_MAX_CELLS}"""
+    step = merge
+    for _ in range(5):
+        step = _canon_pass(step)
+    # NB: under WITH RECURSIVE, DuckDB treats any CTE whose body has a
+    # top-level UNION as a recursive definition — wrap unioned bodies in
+    # a subselect so they stay plain derived tables.
+    return f"""
+WITH RECURSIVE raw_a AS (SELECT * FROM ({_alg_sql_raw('customer', 'c_custkey', 7)}) rw),
+lat AS (SELECT * FROM ({_alg_sql_lattice()}) lt),
+{_alg_sql_max('max_a', 'raw_a')},
+{_alg_sql_cov('cov_a', 'max_a')},
+{_alg_sql_norm('norm_a', 'cov_a')},
+cc(set_id, step, cell) AS (
+  SELECT set_id, 0, cell FROM norm_a
+  UNION ALL
+  {step}
+)
+SELECT set_id, cell FROM cc c
+WHERE step = (SELECT MAX(step) FROM cc c2 WHERE c2.set_id = c.set_id)
+"""
+
+
 def _alg_sql_raw(table, key, mod):
     lsb10, lsb8 = _alg_lsb(10), _alg_lsb(8)
     k = f"CAST({key} AS BIGINT)"
@@ -2152,12 +2280,7 @@ def _alg_sql_norm(name, cov):
 
 
 def o_union_algebra():
-    lattice = " UNION ALL ".join(
-        f"SELECT CAST(p AS BIGINT) * {2 * _alg_lsb(lv)} + {_alg_lsb(lv)} AS cell, "
-        f"CAST({_alg_lsb(lv)} AS BIGINT) AS lsb "
-        f"FROM generate_series(0, {_ALG_DOM // 4 ** (10 - lv) - 1}) t{lv}(p)"
-        for lv in range(6, 11)
-    )
+    lattice = _alg_sql_lattice()
     stat = (
         "SELECT '{op}' AS op, set_id, CAST(count(*) AS BIGINT) AS n_cells, "
         "CAST(sum(lsb) AS BIGINT) AS n_leaves, bit_xor(cell) AS cells_xor "
@@ -3153,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_covering": q_cap_covering,
         "s2_cap_interior": q_cap_interior,
         "s2_simple_covering": q_simple_covering,
+        "s2_canonicalize": q_canonicalize,
         "s2_dtw_align": q_dtw,
         "s2_simplify": q_simplify,
         "s2_tessellate": q_tessellate,
@@ -3208,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cap_covering": o_cap_covering(),
         "s2_cap_interior": o_cap_interior(),
         "s2_simple_covering": o_cap_covering(),
+        "s2_canonicalize": o_canonicalize(),
         "s2_dtw_align": o_dtw(),
         "s2_simplify": o_simplify(),
         "s2_tessellate": o_tessellate(),
