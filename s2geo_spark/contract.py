@@ -3191,6 +3191,104 @@ WHERE dot / (na.nrm * nb.nrm) >= {_ND_THRESHOLD}
 
 # --- classic OLAP (engine breadth) -------------------------------------------
 
+_IVF_LISTS = 16
+_IVF_NPROBE = 4
+_IVF_K = 5
+
+
+def q_embedding_ivf(spark, sf_dir):
+    """IVF ANN with a caller-supplied codebook (operators/ann.ivf_topk):
+    centroids are the raw embeddings of vec_id < n_lists, so the oracle
+    can rebuild assignment (argmax dot, ties to the lowest centroid id),
+    probe selection (top-nprobe dots, ties to the HIGHER list id — the
+    reversed-struct-sort rule), and the within-candidates cosine ranking
+    from the same table. Every float is an ordered fold on both engines,
+    which the green embedding_topk oracle already proves bit-stable."""
+    from s2geo_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = np.array(
+        emb.filter(F.col("vec_id") < _IVF_LISTS)
+        .orderBy("vec_id")
+        .toPandas()["e"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= _IVF_LISTS) & (F.col("vec_id") < _IVF_LISTS + 10)
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    res = ann.ivf_topk(
+        q, emb, k=_IVF_K, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE,
+        centroids=cents,
+    )
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+
+
+def o_embedding_ivf():
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val*val ORDER BY idx)) AS nrm
+          FROM flat GROUP BY vec_id),
+cents AS (SELECT vec_id AS cid, idx, val FROM flat WHERE vec_id < {_IVF_LISTS}),
+cdots AS (
+  SELECT f.vec_id, c.cid, sum(f.val * c.val ORDER BY f.idx) AS d
+  FROM flat f JOIN cents c ON c.idx = f.idx
+  GROUP BY f.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+    FROM cdots
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rk
+    FROM cdots
+    WHERE vec_id >= {_IVF_LISTS} AND vec_id < {_IVF_LISTS + 10}
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+),
+cdot AS (
+  SELECT c.query_id, c.vec_id,
+         sum(fq.val * fv.val ORDER BY fq.idx) AS dot
+  FROM cand c
+  JOIN flat fq ON fq.vec_id = c.query_id
+  JOIN flat fv ON fv.vec_id = c.vec_id AND fv.idx = fq.idx
+  GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (nq.nrm * nv.nrm) AS cos
+  FROM cdot d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nv ON nv.vec_id = d.vec_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rank <= {_IVF_K}
+"""
+
+
 def q_lineitem_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -3302,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_ivf_topk": q_embedding_ivf,
         "olap_lineitem_rollup": q_lineitem_rollup,
         "olap_top_customers": q_top_customers,
     }
@@ -3358,6 +3457,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": o_embedding_topk(),
         "embedding_lsh_buckets": o_embedding_lsh_buckets(),
         "embedding_near_dup": o_embedding_near_dup(),
+        "embedding_ivf_topk": o_embedding_ivf(),
         "olap_lineitem_rollup": o_lineitem_rollup(),
         "olap_top_customers": o_top_customers(),
     }

@@ -89,19 +89,19 @@ def assign_lists(vectors: DataFrame, centroids: np.ndarray, v_col: str = "e",
     dozen lists (VERDICT r1), the matmul scales to thousands."""
     n_lists = len(centroids)
     if n_lists <= 32:
-        dots = [
-            _dot(F.col(v_col), F.array(*[F.lit(float(c)) for c in cent])).alias(f"d{i}")
-            for i, cent in enumerate(centroids)
-        ]
-        with_dots = vectors.select(id_col, v_col, *dots)
-        best = F.greatest(*[F.col(f"d{i}") for i in range(n_lists)])
-        list_id = None
-        for i in range(n_lists):
-            cond = F.when(F.col(f"d{i}") == best, F.lit(i))
-            list_id = cond if list_id is None else list_id.when(
-                F.col(f"d{i}") == best, F.lit(i)
-            )
-        return with_dots.select(id_col, v_col, list_id.alias("list_id"))
+        # argmax via array_position(arr, array_max(arr)): the dot-fold
+        # expression tree appears twice total, not once per comparison —
+        # a greatest()+when-chain form re-embeds all n_lists folds in
+        # every branch and blows up Catalyst canonicalization. Ties pick
+        # the first (lowest) list, same as the when-chain did.
+        arr = F.array(
+            *[
+                _dot(F.col(v_col), F.array(*[F.lit(float(c)) for c in cent]))
+                for cent in centroids
+            ]
+        )
+        list_id = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+        return vectors.select(id_col, v_col, list_id.alias("list_id"))
 
     sc_ = vectors.sparkSession.sparkContext
     bc = sc_.broadcast(np.asarray(centroids, dtype=np.float64))
@@ -121,14 +121,21 @@ def ivf_topk(
     n_lists: int = 16, nprobe: int = 4,
     query_id: str = "query_id", vec_id: str = "vec_id",
     q_col: str = "qe", v_col: str = "e",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: probe only the nprobe nearest lists per query.
 
     Returns (query_id, rank, vec_id, cos). Recall < 1 by design; at 100TB
     the vector side shuffles once by list_id (or is written bucketed) and
-    each query touches nprobe/n_lists of the data.
+    each query touches nprobe/n_lists of the data. Pass `centroids` to
+    skip k-means and use a caller-supplied codebook (e.g. pretrained, or
+    exactly-reproducible vectors for an external oracle).
     """
-    cents = train_centroids(vectors, n_lists, v_col=v_col)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_centroids(vectors, n_lists, v_col=v_col)
+    )
     listed = assign_lists(vectors, cents, v_col=v_col, id_col=vec_id)
 
     if len(cents) <= 32:
