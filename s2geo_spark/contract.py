@@ -3191,6 +3191,84 @@ WHERE dot / (na.nrm * nb.nrm) >= {_ND_THRESHOLD}
 
 # --- classic OLAP (engine breadth) -------------------------------------------
 
+def q_media_decode(spark, sf_dir):
+    """REAL multimodal decode on uncompressed containers: per nation, a
+    24bpp BMP image and a PCM16 WAV clip are BUILT from arithmetic pixel
+    and sample formulas, serialized with the real encoders, then parsed
+    back through operators/multimodal.decode_media (struct parsing per
+    the public specs — row padding, bottom-up BGR, RIFF chunk walk).
+    Emits position-weighted integer checksums of the DECODED data; the
+    oracle recomputes them from the same formulas without ever touching
+    bytes, so any axis swap / channel order / padding / endianness bug in
+    the decoder breaks the hash."""
+    from s2geo_spark.operators import multimodal as mm
+
+    lines = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = int(r["media_id"])
+                w, h = 4 + n % 5, 3 + n % 4
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((n * 73 + y * 17 + x * 5 + c * 29) % 256).astype(np.uint8)
+                dec = mm.decode_media(mm.encode_bmp(px))
+                dpx = dec["pixels"].astype(np.int64)
+                wgt = 1 + x + 2 * y + 3 * c
+                rows.append(
+                    (n, "bmp", dec["width"], dec["height"],
+                     int((dpx * wgt).sum()))
+                )
+                ns = 20 + n % 13
+                i = np.arange(ns)
+                s = (((n * 31 + i * 7) % 201) - 100).astype(np.int16)
+                rate, ds2 = mm.decode_wav(mm.encode_wav(s))
+                rows.append(
+                    (n, "wav", len(ds2), 1,
+                     int((ds2.astype(np.int64) * (1 + i)).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "dim1", "dim2", "wsum"]
+            )
+
+    return lines.mapInPandas(
+        run, "media_id long, kind string, dim1 long, dim2 long, wsum long"
+    )
+
+
+def o_media_decode():
+    return """
+WITH n0 AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+img AS (
+  SELECT n0.n AS media_id, 'bmp' AS kind,
+         4 + n0.n % 5 AS dim1, 3 + n0.n % 4 AS dim2,
+         (SELECT SUM(((n0.n*73 + y.v*17 + x.v*5 + c.v*29) % 256)
+                     * (1 + x.v + 2*y.v + 3*c.v))
+          FROM generate_series(0, 6) y(v),
+               generate_series(0, 8) x(v),
+               generate_series(0, 2) c(v)
+          WHERE y.v < 3 + n0.n % 4 AND x.v < 4 + n0.n % 5) AS wsum
+  FROM n0
+),
+aud AS (
+  SELECT n0.n AS media_id, 'wav' AS kind,
+         20 + n0.n % 13 AS dim1, CAST(1 AS BIGINT) AS dim2,
+         (SELECT SUM((((n0.n*31 + i.v*7) % 201) - 100) * (1 + i.v))
+          FROM generate_series(0, 32) i(v)
+          WHERE i.v < 20 + n0.n % 13) AS wsum
+  FROM n0
+)
+SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
+       CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud) u
+"""
+
+
 _IVF_LISTS = 16
 _IVF_NPROBE = 4
 _IVF_K = 5
@@ -3385,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_tile_counts": q_h3_counts,
         "dedup_simhash8": q_simhash8,
         "media_bytes": q_media_bytes,
+        "media_decode": q_media_decode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
@@ -3442,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "h3_tile_counts": o_h3_counts(),
         "dedup_simhash8": o_simhash8(),
         "media_bytes": o_media_bytes(),
+        "media_decode": o_media_decode(),
         "dedup_exact": o_dedup_exact(),
         "dedup_minhash": o_minhash(),
         "dedup_lsh_pairs": o_lsh_pairs(),
