@@ -265,20 +265,43 @@ def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
     return (digest * reps)[: target_w * target_h]
 
 
+def resize_image_nn(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the reference resize for integer
+    pipelines — deterministic, no interpolation ambiguity): source index
+    = floor(dst * src_dim / dst_dim)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return pixels[ys][:, xs]
+
+
 def resize_media(
     df: DataFrame, key_col: str, binary_col: str,
     target_w: int = 32, target_h: int = 32,
 ) -> DataFrame:
     """mapInPandas resize: binary -> (original dims, target dims, resized
-    bytes). The Spark-side plumbing (Arrow binary round-trip both ways,
-    schema, batch shape) is real; the pixel work is the documented stub."""
+    bytes). REAL for decodable containers: decode -> nearest-neighbor
+    resample -> re-encode in the same container format. Undecodable
+    payloads fall through to the documented stub (plumbing exercised
+    either way)."""
 
     def run(batches):
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf[key_col], pdf[binary_col]):
                 b = bytes(payload) if payload is not None else b""
-                w, h, _ = _decode_stub(b)
+                try:
+                    decoded = decode_media(b)
+                except Exception:
+                    decoded = None
+                if decoded is not None and "pixels" in decoded:
+                    w, h = decoded["width"], decoded["height"]
+                    out_px = resize_image_nn(decoded["pixels"], target_w, target_h)
+                    enc = encode_bmp if decoded["kind"] == "bmp" else encode_ppm
+                    resized = enc(out_px)
+                else:
+                    w, h, _ = _decode_stub(b)
+                    resized = _resize_stub(b, target_w, target_h)
                 rows.append(
                     {
                         "key": key,
@@ -286,7 +309,7 @@ def resize_media(
                         "height": np.int32(h),
                         "target_w": np.int32(target_w),
                         "target_h": np.int32(target_h),
-                        "resized": _resize_stub(b, target_w, target_h),
+                        "resized": resized,
                     }
                 )
             yield pd.DataFrame(

@@ -147,3 +147,25 @@ class TestRealCodecs:
         assert mm.decode_media(b"random junk bytes") is None
         with pytest.raises(NotImplementedError):
             mm.decode_media(b"\x89PNG\r\n\x1a\n...")
+
+    def test_real_resize_round_trip(self, spark):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (6, 9, 3)).astype(np.uint8)
+        df = spark.createDataFrame(
+            [("a", bytearray(mm.encode_bmp(px))), ("junk", bytearray(b"xx"))],
+            "key string, payload binary",
+        )
+        out = mm.resize_media(df, "key", "payload", target_w=4, target_h=3).toPandas()
+        row = out[out["key"] == "a"].iloc[0]
+        assert (row["width"], row["height"]) == (9, 6)
+        got = mm.decode_bmp(bytes(row["resized"]))
+        want = mm.resize_image_nn(px, 4, 3)
+        assert np.array_equal(got, want)
+        # exact nearest-neighbor semantics: (0,0) maps to source (0,0)
+        assert np.array_equal(got[0, 0], px[0, 0])
+        junk = out[out["key"] == "junk"].iloc[0]  # stub fallback intact
+        assert len(bytes(junk["resized"])) == 4 * 3
