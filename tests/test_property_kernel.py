@@ -84,3 +84,54 @@ def test_metric_level_inversion(value):
     assert metrics.metric_value(metrics.MIN_WIDTH_DERIV, lv) >= value or lv == 30
     if lv < 30:
         assert metrics.metric_value(metrics.MIN_WIDTH_DERIV, lv + 1) < value or lv == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_ppm_round_trip_property(h, w, seed):
+    from s2geo_spark.operators import multimodal as mm
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_round_trip_property(n, rate, seed):
+    from s2geo_spark.operators import multimodal as mm
+
+    s = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, n)
+        .astype(np.int16)
+    )
+    r2, s2 = mm.decode_wav(mm.encode_wav(s, rate=rate))
+    assert r2 == rate and np.array_equal(s, s2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    th=st.integers(min_value=1, max_value=10),
+    tw=st.integers(min_value=1, max_value=10),
+)
+def test_resize_nn_property(h, w, th, tw):
+    from s2geo_spark.operators import multimodal as mm
+
+    px = (np.arange(h * w * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(h, w, 3)
+    out = mm.resize_image_nn(px, tw, th)
+    assert out.shape == (th, tw, 3)
+    # every output pixel equals its floor-mapped source pixel
+    for y in range(th):
+        for x in range(tw):
+            assert (out[y, x] == px[(y * h) // th, (x * w) // tw]).all()
