@@ -3232,6 +3232,18 @@ def q_media_decode(spark, sf_dir):
                     (n, "wav", len(ds2), 1,
                      int((ds2.astype(np.int64) * (1 + i)).sum()))
                 )
+                nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
+                t, y, x = np.meshgrid(
+                    np.arange(nf), np.arange(vh), np.arange(vw), indexing="ij"
+                )
+                fr = ((n * 41 + t * 13 + y * 3 + x) % 256).astype(np.uint8)
+                vdec = mm.decode_media(mm.encode_y4m(fr))
+                dfr = vdec["frames"].astype(np.int64)
+                vwgt = 1 + x + 2 * y + 5 * t
+                rows.append(
+                    (n, "y4m", vdec["width"] * 1000 + vdec["height"],
+                     len(vdec["frames"]), int((dfr * vwgt).sum()))
+                )
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "dim1", "dim2", "wsum"]
             )
@@ -3262,10 +3274,24 @@ aud AS (
           FROM generate_series(0, 32) i(v)
           WHERE i.v < 20 + n0.n % 13) AS wsum
   FROM n0
+),
+vid AS (
+  SELECT n0.n AS media_id, 'y4m' AS kind,
+         (5 + n0.n % 4) * 1000 + (4 + n0.n % 3) AS dim1,
+         3 + n0.n % 4 AS dim2,
+         (SELECT SUM(((n0.n*41 + t.v*13 + y.v*3 + x.v) % 256)
+                     * (1 + x.v + 2*y.v + 5*t.v))
+          FROM generate_series(0, 6) t(v),
+               generate_series(0, 6) y(v),
+               generate_series(0, 8) x(v)
+          WHERE t.v < 3 + n0.n % 4 AND y.v < 4 + n0.n % 3
+            AND x.v < 5 + n0.n % 4) AS wsum
+  FROM n0
 )
 SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
        CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
-FROM (SELECT * FROM img UNION ALL SELECT * FROM aud) u
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+      UNION ALL SELECT * FROM vid) u
 """
 
 

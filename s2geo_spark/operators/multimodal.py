@@ -40,6 +40,8 @@ def _sniff_format(head: bytes) -> str:
         return "ppm"
     if head.startswith(b"RIFF"):
         return "wav" if head[8:12] == b"WAVE" else "riff"
+    if head.startswith(b"YUV4MPEG2"):
+        return "y4m"
     if head.startswith(b"<html") or head.startswith(b"<!DOC"):
         return "html"
     return "unknown"
@@ -165,6 +167,57 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 (Y4M) clip, Cmono colourspace (luma-only planes — a real
+    spec option): plain-text stream header + per-frame FRAME markers +
+    raw planes. frames: (n, h, w) uint8."""
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(b"FRAME\n" + f[i].tobytes() for i in range(n))
+    return head + body
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Inverse of encode_y4m (Cmono and C420 streams)."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "replace").split()
+    if not head or head[0] != "YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    fps = 25
+    cs = "C420"
+    for tok in head[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            cs = tok
+    if w is None or h is None:
+        raise ValueError("Y4M missing W/H")
+    if cs == "Cmono":
+        fsize = w * h
+    elif cs.startswith("C420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise NotImplementedError(f"Y4M colourspace {cs}")
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        start = fnl + 1
+        luma = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=start)
+        frames.append(luma.reshape(h, w))
+        pos = start + fsize
+    return {"kind": "y4m", "width": w, "height": h, "fps": fps,
+            "frames": np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)}
+
+
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes: REAL decode for uncompressed containers
     (BMP / P6 PPM / PCM WAV), NotImplementedError for compressed codecs,
@@ -180,6 +233,8 @@ def decode_media(payload: bytes) -> dict:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, s = decode_wav(payload)
         return {"kind": "wav", "rate": rate, "samples": s}
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
     if payload[:4] == b"\x89PNG" or payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError("compressed codecs need external libs")
     return None
@@ -213,6 +268,22 @@ def extract_media_meta(df: DataFrame, key_col: str, binary_col: str) -> DataFram
                             [w / 64.0, h / 64.0],
                         ]
                     ).astype(np.float32)
+                elif decoded is not None and "frames" in decoded:
+                    fr = decoded["frames"].astype(np.float32)
+                    w, h = decoded["width"], decoded["height"]
+                    f = np.array(
+                        [
+                            float(fr.mean()) / 255.0 if fr.size else 0.0,
+                            float(fr.std()) / 255.0 if fr.size else 0.0,
+                            len(decoded["frames"]) / 16.0,
+                            decoded["fps"] / 100.0,
+                            w / 64.0,
+                            h / 64.0,
+                            0.0,
+                            0.0,
+                        ],
+                        dtype=np.float32,
+                    )
                 elif decoded is not None and "samples" in decoded:
                     s = decoded["samples"].astype(np.float64)
                     n = max(len(s), 1)
@@ -330,18 +401,57 @@ def sample_frames(
     df: DataFrame, key_col: str, binary_col: str, n_frames: int = 4
 ) -> DataFrame:
     """mapInPandas video frame sampling: one input row fans out to
-    n_frames output rows (frame_idx, synthetic timestamp, frame bytes,
-    per-frame feature). The 1->N Arrow fan-out, the per-frame schema, and
-    deterministic frame identity are the real plumbing; frame extraction
-    itself is the documented stub (a real implementation seeks with
-    pyav/ffmpeg). Pseudo-duration is derived from the payload so
-    timestamps are deterministic."""
+    n_frames output rows (frame_idx, timestamp, frame bytes, per-frame
+    feature). REAL for Y4M payloads: frames are evenly sampled from the
+    decoded clip (floor-index, matching resize_image_nn's convention),
+    frame bytes are the raw luma plane, timestamps come from the stream's
+    frame rate, and the feature is luma statistics. Compressed video
+    still goes through the documented stub (seeking needs pyav/ffmpeg).
+    Pseudo-duration for stub payloads is derived from the payload so
+    timestamps stay deterministic."""
 
     def run(batches):
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf[key_col], pdf[binary_col]):
                 b = bytes(payload) if payload is not None else b""
+                clip = None
+                if b[:9] == b"YUV4MPEG2":
+                    try:
+                        clip = decode_y4m(b)
+                    except Exception:
+                        clip = None
+                if clip is not None and len(clip["frames"]):
+                    frames = clip["frames"]
+                    nf_src = len(frames)
+                    for i in range(n_frames):
+                        src = (i * nf_src) // n_frames
+                        fr = frames[src]
+                        ts = src * 1000 // max(clip["fps"], 1)
+                        f32 = fr.astype(np.float32)
+                        feat = [
+                            float(f32.mean()) / 255.0,
+                            float(f32.std()) / 255.0,
+                            float(fr.min()) / 255.0,
+                            float(fr.max()) / 255.0,
+                            clip["width"] / 64.0,
+                            clip["height"] / 64.0,
+                            src / max(nf_src, 1),
+                            nf_src / 16.0,
+                        ]
+                        rows.append(
+                            {
+                                "key": key,
+                                "frame_idx": np.int32(i),
+                                "n_frames": np.int32(n_frames),
+                                "ts_ms": np.int64(ts),
+                                "frame": fr.tobytes(),
+                                "frame_feature": np.asarray(
+                                    feat, dtype=np.float32
+                                ).tolist(),
+                            }
+                        )
+                    continue
                 digest = hashlib.sha256(b).digest()
                 duration_ms = 1000 + int.from_bytes(digest[2:4], "big")
                 for i in range(n_frames):

@@ -169,3 +169,30 @@ class TestRealCodecs:
         assert np.array_equal(got[0, 0], px[0, 0])
         junk = out[out["key"] == "junk"].iloc[0]  # stub fallback intact
         assert len(bytes(junk["resized"])) == 4 * 3
+
+    def test_y4m_round_trip_and_real_frames(self, spark):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(13)
+        frames = rng.integers(0, 256, (5, 4, 6)).astype(np.uint8)
+        clip = mm.encode_y4m(frames, fps=10)
+        dec = mm.decode_y4m(clip)
+        assert dec["width"] == 6 and dec["height"] == 4 and dec["fps"] == 10
+        assert np.array_equal(dec["frames"], frames)
+        assert mm.decode_media(clip)["kind"] == "y4m"
+
+        df = spark.createDataFrame(
+            [("v", bytearray(clip))], "key string, payload binary"
+        )
+        out = (
+            mm.sample_frames(df, "key", "payload", n_frames=3)
+            .orderBy("frame_idx")
+            .toPandas()
+        )
+        assert len(out) == 3
+        # floor-sampled source frames 0, 1, 3 of 5; raw luma planes
+        for i, src in enumerate([0, 1, 3]):
+            assert bytes(out.iloc[i]["frame"]) == frames[src].tobytes()
+            assert out.iloc[i]["ts_ms"] == src * 1000 // 10
