@@ -3232,6 +3232,17 @@ def q_media_decode(spark, sf_dir):
                     (n, "wav", len(ds2), 1,
                      int((ds2.astype(np.int64) * (1 + i)).sum()))
                 )
+                pw, ph = 3 + n % 6, 2 + n % 5
+                y2, x2, c2 = np.meshgrid(
+                    np.arange(ph), np.arange(pw), np.arange(3), indexing="ij"
+                )
+                ppx = ((n * 59 + y2 * 11 + x2 * 7 + c2 * 3) % 256).astype(np.uint8)
+                pdec = mm.decode_media(mm.encode_png(ppx))
+                rows.append(
+                    (n, "png", pdec["width"], pdec["height"],
+                     int((pdec["pixels"].astype(np.int64)
+                          * (1 + x2 + 2 * y2 + 3 * c2)).sum()))
+                )
                 nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
                 t, y, x = np.meshgrid(
                     np.arange(nf), np.arange(vh), np.arange(vw), indexing="ij"
@@ -3275,6 +3286,17 @@ aud AS (
           WHERE i.v < 20 + n0.n % 13) AS wsum
   FROM n0
 ),
+png AS (
+  SELECT n0.n AS media_id, 'png' AS kind,
+         3 + n0.n % 6 AS dim1, 2 + n0.n % 5 AS dim2,
+         (SELECT SUM(((n0.n*59 + y.v*11 + x.v*7 + c.v*3) % 256)
+                     * (1 + x.v + 2*y.v + 3*c.v))
+          FROM generate_series(0, 6) y(v),
+               generate_series(0, 8) x(v),
+               generate_series(0, 2) c(v)
+          WHERE y.v < 2 + n0.n % 5 AND x.v < 3 + n0.n % 6) AS wsum
+  FROM n0
+),
 vid AS (
   SELECT n0.n AS media_id, 'y4m' AS kind,
          (5 + n0.n % 4) * 1000 + (4 + n0.n % 3) AS dim1,
@@ -3291,7 +3313,7 @@ vid AS (
 SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
        CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
-      UNION ALL SELECT * FROM vid) u
+      UNION ALL SELECT * FROM png UNION ALL SELECT * FROM vid) u
 """
 
 

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Decode is REAL for uncompressed container formats — 24bpp BMP, binary P6
-PPM, and mono PCM16 WAV are parsed with plain struct/numpy per the public
-format specs (encode_* / decode_* below), and extract_media_meta routes
-them to true dimensions + pixel/sample-statistics features. Compressed
-codecs (PNG/JPEG/MP3/H.264) raise NotImplementedError: their entropy
-decoders need libraries this container does not ship, and faking them
-would be dishonest — unknown payloads fall back to the clearly-marked
-deterministic `_decode_stub`. Everything Spark-side — schema, Arrow batch
+Decode is REAL for every format whose decoder fits in the standard
+library: 24bpp BMP, binary P6 PPM, mono PCM16 WAV, and Y4M video are
+plain struct/numpy parsing per the public specs, and PNG (8-bit
+grey/RGB/RGBA) is decoded with stdlib zlib — chunk walk, inflate, and all
+five row filters including Paeth. extract_media_meta routes them to true
+dimensions + pixel/sample/frame-statistics features, sample_frames
+extracts real Y4M frames, resize_media really resamples. Only codecs
+whose entropy coding genuinely needs external libraries (JPEG, MP3,
+H.264) raise NotImplementedError — faking them would be dishonest —
+and unknown payloads fall back to the clearly-marked deterministic
+`_decode_stub`. Everything Spark-side — schema, Arrow batch
 shapes, mapInPandas signatures, partitioning — is real and tested either
 way; swapping in PIL/ffmpeg for the compressed formats remains a
 one-function change.
@@ -167,6 +170,109 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit RGB PNG via stdlib zlib (deflate is in the standard library —
+    no external codec): IHDR + one IDAT (filter type 0 rows) + IEND, with
+    real CRCs."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color_type = {3: 2, 4: 6, 1: 0}[ch]
+    if ch == 1:
+        px = px[:, :, 0][..., None]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type None
+        raw += px[y].tobytes()
+    idat = zlib.compress(bytes(raw), 9)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_defilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo PNG row filters (types 0-4 per the spec, incl. Paeth)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = data[pos]
+        row = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 255
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit greyscale/RGB/RGBA PNG decode with stdlib zlib: chunk walk,
+    inflate the IDAT stream, undo the five row filters. Palette, sub-byte
+    depths, and Adam7 interlace raise (out of scope, stated)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = depth = color = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace}"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    return _png_defilter(raw, h, w, ch)
+
+
 def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
     """YUV4MPEG2 (Y4M) clip, Cmono colourspace (luma-only planes — a real
     spec option): plain-text stream header + per-frame FRAME markers +
@@ -235,8 +341,14 @@ def decode_media(payload: bytes) -> dict:
         return {"kind": "wav", "rate": rate, "samples": s}
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
-    if payload[:4] == b"\x89PNG" or payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("compressed codecs need external libs")
+    if payload[:4] == b"\x89PNG":
+        px = decode_png(payload)
+        return {"kind": "png", "width": px.shape[1], "height": px.shape[0],
+                "pixels": px}
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG entropy decoding needs external libs"
+        )
     return None
 
 
@@ -257,9 +369,12 @@ def extract_media_meta(df: DataFrame, key_col: str, binary_col: str) -> DataFram
                 except Exception:
                     decoded = None
                 if decoded is not None and "pixels" in decoded:
-                    # REAL decode path (uncompressed containers): true
-                    # dimensions + an 8-dim pixel-statistics feature
-                    px = decoded["pixels"].astype(np.float32)
+                    # REAL decode path: true dimensions + an 8-dim
+                    # pixel-statistics feature (normalized to 3 channels)
+                    px3 = decoded["pixels"]
+                    if px3.shape[2] == 1:
+                        px3 = np.repeat(px3, 3, axis=2)
+                    px = px3[:, :, :3].astype(np.float32)
                     w, h = decoded["width"], decoded["height"]
                     f = np.concatenate(
                         [
@@ -368,7 +483,8 @@ def resize_media(
                 if decoded is not None and "pixels" in decoded:
                     w, h = decoded["width"], decoded["height"]
                     out_px = resize_image_nn(decoded["pixels"], target_w, target_h)
-                    enc = encode_bmp if decoded["kind"] == "bmp" else encode_ppm
+                    enc = {"bmp": encode_bmp, "ppm": encode_ppm,
+                           "png": encode_png}[decoded["kind"]]
                     resized = enc(out_px)
                 else:
                     w, h, _ = _decode_stub(b)

@@ -145,7 +145,9 @@ class TestRealCodecs:
         s = np.zeros(8, dtype=np.int16)
         assert mm.decode_media(mm.encode_wav(s))["kind"] == "wav"
         assert mm.decode_media(b"random junk bytes") is None
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(NotImplementedError):  # JPEG stays honest
+            mm.decode_media(b"\xff\xd8\xff\xe0...")
+        with pytest.raises(Exception):  # PNG magic with garbage body
             mm.decode_media(b"\x89PNG\r\n\x1a\n...")
 
     def test_real_resize_round_trip(self, spark):
@@ -196,3 +198,61 @@ class TestRealCodecs:
         for i, src in enumerate([0, 1, 3]):
             assert bytes(out.iloc[i]["frame"]) == frames[src].tobytes()
             assert out.iloc[i]["ts_ms"] == src * 1000 // 10
+
+    def test_png_round_trip_and_filters(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(17)
+        for ch in (3, 4, 1):  # RGB / RGBA / greyscale
+            px = rng.integers(0, 256, (5, 7, ch)).astype(np.uint8)
+            assert np.array_equal(mm.decode_png(mm.encode_png(px)), px)
+        # hand-filter a stream with all five filter types; the decoder
+        # (which our encoder never exercises past type 0) must undo them
+        px = rng.integers(0, 256, (5, 4, 3)).astype(np.uint8)
+        h, w, ch = px.shape
+        stride = w * ch
+        flat = px.reshape(h, stride).astype(np.int64)
+        raw = bytearray()
+        for y, ft in enumerate([0, 1, 2, 3, 4]):
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+            row = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = flat[y][i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (flat[y][i] - pred) & 255
+            raw.append(ft)
+            raw += bytes(row.astype(np.uint8))
+        idat = zlib.compress(bytes(raw))
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mm.decode_png(payload), px)
+        assert mm.decode_media(mm.encode_png(px))["kind"] == "png"
