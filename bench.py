@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "s2_hausdorff",
     "s2_union_algebra",
     "s2_stream_tiles",
+    "s2_canonicalize",
+    "media_decode",
     "dedup_minhash",
     "dedup_jaccard_pairs",
     "text_fingerprint",
