@@ -3243,6 +3243,20 @@ def q_media_decode(spark, sf_dir):
                      int((pdec["pixels"].astype(np.int64)
                           * (1 + x2 + 2 * y2 + 3 * c2)).sum()))
                 )
+                gf, gh, gw = 2 + n % 3, 3 + n % 4, 4 + n % 5
+                t3, y3, x3 = np.meshgrid(
+                    np.arange(gf), np.arange(gh), np.arange(gw), indexing="ij"
+                )
+                gidx = ((n * 67 + t3 * 19 + y3 * 5 + x3 * 2) % 256).astype(np.uint8)
+                gdec = mm.decode_media(mm.encode_gif(gidx))
+                grgb = gdec["palette"][gdec["frames"]].astype(np.int64)
+                gwgt = (1 + x3 + 2 * y3 + 5 * t3)[..., None] * (
+                    1 + 7 * np.arange(3)
+                )
+                rows.append(
+                    (n, "gif", gdec["width"] * 1000 + gdec["height"],
+                     len(gdec["frames"]), int((grgb * gwgt).sum()))
+                )
                 nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
                 t, y, x = np.meshgrid(
                     np.arange(nf), np.arange(vh), np.arange(vw), indexing="ij"
@@ -3297,6 +3311,23 @@ png AS (
           WHERE y.v < 2 + n0.n % 5 AND x.v < 3 + n0.n % 6) AS wsum
   FROM n0
 ),
+gif AS (
+  SELECT n0.n AS media_id, 'gif' AS kind,
+         (4 + n0.n % 5) * 1000 + (3 + n0.n % 4) AS dim1,
+         2 + n0.n % 3 AS dim2,
+         (SELECT SUM(
+             (1 + x.v + 2*y.v + 5*t.v) * (
+                 ((n0.n*67 + t.v*19 + y.v*5 + x.v*2) % 256)
+               + 8  * ((((n0.n*67 + t.v*19 + y.v*5 + x.v*2) % 256) * 2) % 256)
+               + 15 * ((((n0.n*67 + t.v*19 + y.v*5 + x.v*2) % 256) * 3) % 256)
+             ))
+          FROM generate_series(0, 4) t(v),
+               generate_series(0, 6) y(v),
+               generate_series(0, 8) x(v)
+          WHERE t.v < 2 + n0.n % 3 AND y.v < 3 + n0.n % 4
+            AND x.v < 4 + n0.n % 5) AS wsum
+  FROM n0
+),
 vid AS (
   SELECT n0.n AS media_id, 'y4m' AS kind,
          (5 + n0.n % 4) * 1000 + (4 + n0.n % 3) AS dim1,
@@ -3313,7 +3344,8 @@ vid AS (
 SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
        CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
-      UNION ALL SELECT * FROM png UNION ALL SELECT * FROM vid) u
+      UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
+      UNION ALL SELECT * FROM vid) u
 """
 
 

@@ -43,6 +43,8 @@ def _sniff_format(head: bytes) -> str:
         return "ppm"
     if head.startswith(b"RIFF"):
         return "wav" if head[8:12] == b"WAVE" else "riff"
+    if head.startswith(b"GIF87a") or head.startswith(b"GIF89a"):
+        return "gif"
     if head.startswith(b"YUV4MPEG2"):
         return "y4m"
     if head.startswith(b"<html") or head.startswith(b"<!DOC"):
@@ -273,6 +275,175 @@ def decode_png(payload: bytes) -> np.ndarray:
     return _png_defilter(raw, h, w, ch)
 
 
+# --- GIF: a real LZW entropy codec, hand-implemented (public spec) ---------
+
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/EOI codes,
+    dictionary resets at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    w = b""
+    for sym in indices.tolist():
+        c = bytes([sym])
+        if w + c in table:
+            w = w + c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # pack LSB-first
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 255)
+    return bytes(data)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _gif_palette() -> np.ndarray:
+    """The 256-entry palette our encoder writes: arithmetically defined so
+    external oracles can reproduce decoded RGB without parsing bytes."""
+    i = np.arange(256, dtype=np.int64)
+    return np.stack([i % 256, (i * 2) % 256, (i * 3) % 256], axis=1).astype(np.uint8)
+
+
+def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+    """GIF89a with the arithmetic global palette and REAL LZW-compressed
+    frames (index planes). frames: (n, h, w) uint8 palette indices."""
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    out += _gif_palette().tobytes()
+    for k in range(n):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        comp = _lzw_compress(f[k].ravel(), 8)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a decode: global palette, non-interlaced frames, real LZW
+    decompression. Returns frames as palette indices plus the palette
+    (RGB rendering = palette[indices])."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 7)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=size * 3, offset=pos
+        ).reshape(size, 3).copy()
+        pos += size * 3
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        if iflags & 0x80:
+            lsize = 2 << (iflags & 7)
+            pos += lsize * 3  # local palette (unused by our writer)
+        mcs = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos] != 0:
+            blen = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + blen]
+            pos += 1 + blen
+        pos += 1
+        idx = _lzw_decompress(bytes(comp), mcs)[: fw * fh]
+        frames.append(idx.reshape(fh, fw))
+    return {"kind": "gif", "width": w, "height": h, "palette": palette,
+            "frames": np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)}
+
+
 def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
     """YUV4MPEG2 (Y4M) clip, Cmono colourspace (luma-only planes — a real
     spec option): plain-text stream header + per-frame FRAME markers +
@@ -341,6 +512,8 @@ def decode_media(payload: bytes) -> dict:
         return {"kind": "wav", "rate": rate, "samples": s}
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:4] == b"\x89PNG":
         px = decode_png(payload)
         return {"kind": "png", "width": px.shape[1], "height": px.shape[0],
@@ -391,7 +564,7 @@ def extract_media_meta(df: DataFrame, key_col: str, binary_col: str) -> DataFram
                             float(fr.mean()) / 255.0 if fr.size else 0.0,
                             float(fr.std()) / 255.0 if fr.size else 0.0,
                             len(decoded["frames"]) / 16.0,
-                            decoded["fps"] / 100.0,
+                            decoded.get("fps", 10) / 100.0,
                             w / 64.0,
                             h / 64.0,
                             0.0,
@@ -532,18 +705,22 @@ def sample_frames(
             for key, payload in zip(pdf[key_col], pdf[binary_col]):
                 b = bytes(payload) if payload is not None else b""
                 clip = None
-                if b[:9] == b"YUV4MPEG2":
+                if b[:9] == b"YUV4MPEG2" or b[:6] in (b"GIF87a", b"GIF89a"):
                     try:
-                        clip = decode_y4m(b)
+                        clip = decode_media(b)
                     except Exception:
                         clip = None
                 if clip is not None and len(clip["frames"]):
                     frames = clip["frames"]
                     nf_src = len(frames)
+                    palette = clip.get("palette")
+                    fps = clip.get("fps", 10)
                     for i in range(n_frames):
                         src = (i * nf_src) // n_frames
                         fr = frames[src]
-                        ts = src * 1000 // max(clip["fps"], 1)
+                        if palette is not None:
+                            fr = palette[fr]  # GIF: render indices to RGB
+                        ts = src * 1000 // max(fps, 1)
                         f32 = fr.astype(np.float32)
                         feat = [
                             float(f32.mean()) / 255.0,

@@ -256,3 +256,35 @@ class TestRealCodecs:
         )
         assert np.array_equal(mm.decode_png(payload), px)
         assert mm.decode_media(mm.encode_png(px))["kind"] == "png"
+
+    def test_gif_lzw_round_trip(self, spark):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(23)
+        # LZW torture: deep chains, random, runs, dictionary resets
+        for data in [
+            np.tile(np.arange(16, dtype=np.uint8), 2000),
+            rng.integers(0, 256, 30000).astype(np.uint8),
+            np.repeat(np.arange(256, dtype=np.uint8), 100),
+            np.zeros(50000, dtype=np.uint8),
+        ]:
+            comp = mm._lzw_compress(data, 8)
+            assert np.array_equal(mm._lzw_decompress(comp, 8), data)
+        # multi-frame GIF round trip + real frame sampling (RGB render)
+        frames = rng.integers(0, 256, (4, 6, 8)).astype(np.uint8)
+        g = mm.encode_gif(frames)
+        dec = mm.decode_gif(g)
+        assert np.array_equal(dec["frames"], frames)
+        df = spark.createDataFrame(
+            [("g", bytearray(g))], "key string, payload binary"
+        )
+        out = (
+            mm.sample_frames(df, "key", "payload", n_frames=2)
+            .orderBy("frame_idx")
+            .toPandas()
+        )
+        pal = mm._gif_palette()
+        assert bytes(out.iloc[0]["frame"]) == pal[frames[0]].tobytes()
+        assert bytes(out.iloc[1]["frame"]) == pal[frames[2]].tobytes()
