@@ -2625,7 +2625,11 @@ def _shingles(spark, sf_dir):
 JACCARD_BCAST_LIMIT = 256 << 20
 
 
-def q_jaccard_pairs(spark, sf_dir):
+def _jaccard_build(spark, sf_dir):
+    """Lazy build of the size-gated expansion join. Returns (inter, sizes,
+    sh, pairs); sh/pairs come back persisted and the caller must release
+    them once materialized — q_jaccard_pairs does via the checkpoint-then-
+    unpersist pattern; the gate tests use this handle to plan-assert."""
     # sh feeds sizes, signatures, and both sides of the intersection join —
     # cache it or the explode+distinct runs four times
     sh = _shingles(spark, sf_dir).cache()
@@ -2667,10 +2671,23 @@ def q_jaccard_pairs(spark, sf_dir):
         .groupBy(pairs["doc_a"], pairs["doc_b"])
         .agg(F.count("*").alias("n_inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return inter, sizes, sh, pairs
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    inter, sizes, sh, pairs = _jaccard_build(spark, sf_dir)
+    # materialize the two TINY intermediates (n_pairs / n_docs rows) and
+    # release the big caches before returning (ADVICE r3: q_jaccard_pairs
+    # leaked the full shingle table + pairs into long sessions — same
+    # localCheckpoint-then-unpersist pattern as boolean_join)
+    inter_c = inter.localCheckpoint(eager=True)
+    sizes_c = sizes.localCheckpoint(eager=True)
+    sh.unpersist()
+    pairs.unpersist()
+    na = sizes_c.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes_c.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b").select(
+        inter_c.join(na, "doc_a").join(nb, "doc_b").select(
             "doc_a", "doc_b", "n_inter", "n_a", "n_b"
         )
     )

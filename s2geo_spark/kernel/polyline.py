@@ -115,10 +115,13 @@ def dtw_alignment(a: np.ndarray, b: np.ndarray, cost_quantum: float | None = Non
     the (len(a) x len(b)) squared-chord cost matrix, steps right/down/
     diagonal. Returns (total_cost, path list of (i, j)).
 
-    cost_quantum rounds each cell cost to an integer multiple of the
-    quantum before the DP; integer min-plus is association-free, so an
+    cost_quantum quantizes each cell cost to integer QUANTUM COUNTS
+    (round half-up) before the DP, and the returned total is in those
+    quantum units — NOT chord-squared; multiply by cost_quantum to
+    recover (ADVICE r3 low). Integer min-plus is association-free, so an
     independently-ordered implementation (e.g. a SQL oracle's prefix-sum
-    formulation) reproduces the total exactly."""
+    formulation, which also consumes quantum counts) reproduces the
+    total exactly."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     na, nb = a.shape[0], b.shape[0]

@@ -31,6 +31,24 @@ MEDIA_META_SCHEMA = (
 )
 
 
+# header-dimension cap (ADVICE r3 medium): decoders allocate output
+# buffers from UNTRUSTED header fields; without a cap a tiny hostile
+# payload claiming huge dimensions OOMs the executor before the payload-
+# length checks can reject it. 2^26 px * 3ch = 192 MB, far above any
+# thumbnail/clip a CC-style corpus row legitimately carries.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int, frames: int = 1) -> None:
+    """Reject nonpositive or absurd header dimensions BEFORE allocating."""
+    if w <= 0 or h <= 0 or frames < 0:
+        raise ValueError(f"bad media dimensions {w}x{h}x{frames}")
+    if w * h * max(frames, 1) > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"media dimensions {w}x{h}x{frames} exceed MAX_DECODE_PIXELS"
+        )
+
+
 def _sniff_format(head: bytes) -> str:
     """Magic-byte sniffing (real, public magic numbers)."""
     if head.startswith(b"\x89PNG"):
@@ -101,8 +119,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     )
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    # negative h = top-down BMP (not produced by our writer); reject along
+    # with absurd header dims, and verify the payload actually carries the
+    # claimed pixel data before allocating (ADVICE r3 medium)
+    _check_dims(w, h)
     row = w * 3
     pad = (-row) % 4
+    if offset + h * (row + pad) > len(payload):
+        raise ValueError("truncated BMP payload")
     out = np.empty((h, w, 3), dtype=np.uint8)
     pos = offset
     for y in range(h - 1, -1, -1):
@@ -129,6 +153,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     maxval = int(parts[2])
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval={maxval}")
+    _check_dims(w, h)
+    if len(parts[3]) < w * h * 3:
+        raise ValueError("truncated PPM payload")
     data = parts[3][: w * h * 3]
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
 
@@ -205,16 +232,18 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def _png_defilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
     """Undo PNG row filters (types 0-4 per the spec, incl. Paeth)."""
     stride = w * ch
-    out = np.zeros((h, stride), dtype=np.int64)
+    # int32, not int64 (ADVICE r3 medium): filter arithmetic never exceeds
+    # a few hundred, and the working buffer is half the size
+    out = np.zeros((h, stride), dtype=np.int32)
     pos = 0
     for y in range(h):
         ftype = data[pos]
         row = np.frombuffer(
             data, dtype=np.uint8, count=stride, offset=pos + 1
-        ).astype(np.int64)
+        ).astype(np.int32)
         pos += 1 + stride
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
-        cur = np.zeros(stride, dtype=np.int64)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
         if ftype == 0:
             cur = row
         elif ftype == 2:  # Up
@@ -271,7 +300,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG depth={depth} color={color} interlace={interlace}"
         )
     ch = {0: 1, 2: 3, 6: 4}[color]
+    _check_dims(w, h)
     raw = zlib.decompress(bytes(idat))
+    # the inflated stream must carry exactly h filtered rows — validate
+    # against the header dims BEFORE the defilter allocates (h, w*ch)
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError(
+            f"PNG data length {len(raw)} != expected {h * (1 + w * ch)}"
+        )
     return _png_defilter(raw, h, w, ch)
 
 
@@ -402,6 +438,7 @@ def decode_gif(payload: bytes) -> dict:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    _check_dims(w, h)
     pos = 13
     palette = None
     if flags & 0x80:
@@ -411,11 +448,17 @@ def decode_gif(payload: bytes) -> dict:
         ).reshape(size, 3).copy()
         pos += size * 3
     frames = []
+    delay_cs = 0
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label + sub-blocks
+            # Graphic Control Extension: capture the frame delay so callers
+            # (sample_frames) derive the real fps instead of a default
+            # (ADVICE r3 low — encode_gif writes delay_cs=4 = 25 fps)
+            if payload[pos + 1] == 0xF9 and payload[pos + 2] >= 4:
+                (delay_cs,) = struct.unpack_from("<H", payload, pos + 4)
             pos += 2
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
@@ -430,6 +473,7 @@ def decode_gif(payload: bytes) -> dict:
         if iflags & 0x80:
             lsize = 2 << (iflags & 7)
             pos += lsize * 3  # local palette (unused by our writer)
+        _check_dims(fw, fh, len(frames) + 1)
         mcs = payload[pos]
         pos += 1
         comp = bytearray()
@@ -438,9 +482,13 @@ def decode_gif(payload: bytes) -> dict:
             comp += payload[pos + 1 : pos + 1 + blen]
             pos += 1 + blen
         pos += 1
-        idx = _lzw_decompress(bytes(comp), mcs)[: fw * fh]
-        frames.append(idx.reshape(fh, fw))
+        idx = _lzw_decompress(bytes(comp), mcs)
+        if len(idx) < fw * fh:
+            raise ValueError("truncated GIF frame data")
+        frames.append(idx[: fw * fh].reshape(fh, fw))
+    fps = 100 // delay_cs if delay_cs > 0 else 10
     return {"kind": "gif", "width": w, "height": h, "palette": palette,
+            "fps": fps,
             "frames": np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)}
 
 
@@ -475,6 +523,7 @@ def decode_y4m(payload: bytes) -> dict:
             cs = tok
     if w is None or h is None:
         raise ValueError("Y4M missing W/H")
+    _check_dims(w, h)
     if cs == "Cmono":
         fsize = w * h
     elif cs.startswith("C420"):
@@ -694,8 +743,10 @@ def sample_frames(
     feature). REAL for Y4M payloads: frames are evenly sampled from the
     decoded clip (floor-index, matching resize_image_nn's convention),
     frame bytes are the raw luma plane, timestamps come from the stream's
-    frame rate, and the feature is luma statistics. Compressed video
-    still goes through the documented stub (seeking needs pyav/ffmpeg).
+    frame rate (Y4M: the F header token; GIF: the Graphic Control
+    Extension delay), and the feature is luma statistics. Compressed
+    video still goes through the documented stub (seeking needs
+    pyav/ffmpeg).
     Pseudo-duration for stub payloads is derived from the payload so
     timestamps stay deterministic."""
 

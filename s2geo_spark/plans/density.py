@@ -66,34 +66,65 @@ def adaptive_partitioning(
     holds <= max_weight points unless already at max_level. Hot cells are
     recursively split to their children — the resulting cell set is the
     explicit partitioner for a skewed layer.
+
+    Fully distributed (VERDICT r3 next-#3 — was toPandas + driver
+    recursion, a driver bottleneck once the distinct fine-cell frame hits
+    10^7-10^8 rows at 100 TB / max_level 12):
+
+      * bottom-up cascade — one `groupBy(parent(cell, L)).sum` hash agg
+        per level, each over the PREVIOUS level's (strictly smaller)
+        aggregate; the fine density never leaves the executors
+      * top-down greedy emit — cells within max_weight are shard leaves;
+        cells above it stay "hot" and gate the next finer level via a
+        broadcast left-semi join (the hot list is bounded by
+        total_weight / max_weight, so the broadcast is safe)
+      * only the FINAL shard list (bounded) is collected to the driver
     """
-    import pandas as pd
+    levels = list(range(start_level, max_level, 2))
+    if not levels or levels[-1] != max_level:
+        levels.append(max_level)
 
-    from s2geo_spark.kernel import cellid_v1 as v1
+    # the only frame derived from the (big) input — persist so the
+    # per-level branches below re-aggregate it, not the raw points
+    base = cell_density(points, max_level, cell_col).persist()
+    aggs = {max_level: base}
+    cur = base
+    for lv in reversed(levels[:-1]):
+        cur = (
+            cur.select(sf.s2_parent("dcell", lv).alias("dcell"), "weight")
+            .groupBy("dcell")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        aggs[lv] = cur
 
-    import numpy as np
+    out = None
+    hot = None
+    hot_level = -1
+    for i, lv in enumerate(levels):
+        agg_lv = aggs[lv]
+        if hot is not None:
+            # keep only cells underneath a still-hot coarser cell
+            h = hot.select(F.col("dcell").alias("hot_cell"))
+            agg_lv = agg_lv.join(
+                F.broadcast(h),
+                sf.s2_parent("dcell", hot_level) == F.col("hot_cell"),
+                "left_semi",
+            )
+        last = i == len(levels) - 1
+        done = agg_lv if last else agg_lv.filter(F.col("weight") <= max_weight)
+        done = done.select(
+            F.col("dcell").alias("cell"),
+            F.lit(lv).alias("level"),
+            F.col("weight"),
+        )
+        out = done if out is None else out.unionByName(done)
+        if not last:
+            hot = agg_lv.filter(F.col("weight") > max_weight)
+            hot_level = lv
 
-    dens = cell_density(points, max_level, cell_col).toPandas()
-    fine_cells = dens["dcell"].to_numpy().view(np.uint64)
-    fine_w = dens["weight"].to_numpy()
-
-    out_rows = []
-
-    def recurse(level: int, prefix_cells, prefix_weights):
-        parents = v1.parent(prefix_cells, level)
-        agg: dict[int, int] = {}
-        for p, w in zip(parents.tolist(), prefix_weights.tolist()):
-            agg[p] = agg.get(p, 0) + w
-        for p, w in agg.items():
-            if w <= max_weight or level >= max_level:
-                out_rows.append((np.int64(np.uint64(p)), level, w))
-            else:
-                mask = parents == np.uint64(p)
-                recurse(level + 2 if level + 2 <= max_level else max_level,
-                        prefix_cells[mask], prefix_weights[mask])
-
-    recurse(start_level, fine_cells, fine_w)
-    return pd.DataFrame(out_rows, columns=["cell", "level", "weight"])
+    pdf = out.toPandas()
+    base.unpersist()
+    return pdf
 
 
 def hot_keys(df: DataFrame, key_col: str, threshold: int) -> list:

@@ -125,21 +125,39 @@ class TestJaccardSizeGate:
         old = contract.JACCARD_BCAST_LIMIT
         contract.JACCARD_BCAST_LIMIT = 1  # force the shuffle fallback
         try:
-            df = contract.q_jaccard_pairs(spark, SF_DIR)
-            opt = df._jdf.queryExecution().optimizedPlan().toString()
+            # plan-assert on the lazy build handle (q_jaccard_pairs now
+            # checkpoints the expansion join internally, so its RETURNED
+            # plan no longer contains the gated join)
+            inter, _sizes, sh, pairs = contract._jaccard_build(spark, SF_DIR)
+            opt = inter._jdf.queryExecution().optimizedPlan().toString()
             # the gate dropped the hints: no broadcast hint survives in
             # the optimized logical plan (AQE may still pick broadcast at
             # runtime from REAL sizes — that is the desired behavior)
             assert "ResolvedHint" not in opt
-            got = df.orderBy("doc_a", "doc_b").collect()
+            sh.unpersist()
+            pairs.unpersist()
+            got = (
+                contract.q_jaccard_pairs(spark, SF_DIR)
+                .orderBy("doc_a", "doc_b")
+                .collect()
+            )
         finally:
             contract.JACCARD_BCAST_LIMIT = old
         assert got == base
 
     def test_default_plan_keeps_hints(self, spark):
-        df = contract.q_jaccard_pairs(spark, SF_DIR)
-        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        inter, _sizes, sh, pairs = contract._jaccard_build(spark, SF_DIR)
+        opt = inter._jdf.queryExecution().optimizedPlan().toString()
         assert "ResolvedHint" in opt or "broadcast" in opt.lower()
+        sh.unpersist()
+        pairs.unpersist()
+
+    def test_no_leaked_caches_after_query(self, spark):
+        # ADVICE r3: q_jaccard_pairs must not leak the shingle/pair caches
+        spark.catalog.clearCache()
+        contract.q_jaccard_pairs(spark, SF_DIR).count()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty(), "q_jaccard_pairs leaked cached DataFrames"
 
 
 class TestKnnUnpersist:
