@@ -3209,15 +3209,17 @@ WHERE dot / (na.nrm * nb.nrm) >= {_ND_THRESHOLD}
 # --- classic OLAP (engine breadth) -------------------------------------------
 
 def q_media_decode(spark, sf_dir):
-    """REAL multimodal decode on uncompressed containers: per nation, a
-    24bpp BMP image and a PCM16 WAV clip are BUILT from arithmetic pixel
-    and sample formulas, serialized with the real encoders, then parsed
-    back through operators/multimodal.decode_media (struct parsing per
-    the public specs — row padding, bottom-up BGR, RIFF chunk walk).
+    """REAL multimodal decode across six containers: per nation, BMP /
+    WAV / PNG / GIF / Y4M / baseline-JPEG payloads are BUILT from
+    arithmetic pixel and sample formulas, serialized with the real
+    encoders, then parsed back through operators/multimodal.decode_media
+    (struct parsing, zlib inflate, LZW, and the T.81 Huffman+IDCT chain
+    per the public specs).
     Emits position-weighted integer checksums of the DECODED data; the
     oracle recomputes them from the same formulas without ever touching
     bytes, so any axis swap / channel order / padding / endianness bug in
     the decoder breaks the hash."""
+    from s2geo_spark.operators import jpeg as jpeg_ops
     from s2geo_spark.operators import multimodal as mm
 
     lines = _t(spark, sf_dir, "nation").select(
@@ -3273,6 +3275,26 @@ def q_media_decode(spark, sf_dir):
                 rows.append(
                     (n, "gif", gdec["width"] * 1000 + gdec["height"],
                      len(gdec["frames"]), int((grgb * gwgt).sum()))
+                )
+                # JPEG: block-constant grayscale at quality 75 (q00=8) —
+                # the quantized-DC path is integer-exact there, so the
+                # DuckDB oracle predicts every decoded pixel in closed
+                # form while the decoder still runs the full Huffman /
+                # dequantize / IDCT chain (operators/jpeg.py; the general
+                # lossy path is pinned bit-exactly in tests/test_jpeg.py)
+                jbw, jbh = 1 + n % 3, 1 + n % 2
+                jw, jh = 8 * jbw, 8 * jbh
+                jy, jx = np.meshgrid(
+                    np.arange(jh), np.arange(jw), indexing="ij"
+                )
+                jpx = (
+                    (n * 53 + (jx // 8) * 17 + (jy // 8) * 31) % 256
+                ).astype(np.uint8)
+                jdec = mm.decode_media(jpeg_ops.encode_jpeg(jpx, quality=75))
+                rows.append(
+                    (n, "jpeg", jdec["width"], jdec["height"],
+                     int((jdec["pixels"][:, :, 0].astype(np.int64)
+                          * (1 + jx + 2 * jy)).sum()))
                 )
                 nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
                 t, y, x = np.meshgrid(
@@ -3357,12 +3379,28 @@ vid AS (
           WHERE t.v < 3 + n0.n % 4 AND y.v < 4 + n0.n % 3
             AND x.v < 5 + n0.n % 4) AS wsum
   FROM n0
+),
+jpg AS (
+  -- block-constant grayscale baseline JPEG at quality 75: the scaled
+  -- luminance DC quantizer is exactly 8, so quantize(8*(v-128))/8 is the
+  -- identity and every decoded pixel equals the encoded block constant —
+  -- the checksum below is the SAME arithmetic the Spark side feeds the
+  -- real Huffman+IDCT decoder with
+  SELECT n0.n AS media_id, 'jpeg' AS kind,
+         8 * (1 + n0.n % 3) AS dim1, 8 * (1 + n0.n % 2) AS dim2,
+         (SELECT SUM(((n0.n*53 + (x.v // 8)*17 + (y.v // 8)*31) % 256)
+                     * (1 + x.v + 2*y.v))
+          FROM generate_series(0, 23) x(v),
+               generate_series(0, 15) y(v)
+          WHERE x.v < 8 * (1 + n0.n % 3)
+            AND y.v < 8 * (1 + n0.n % 2)) AS wsum
+  FROM n0
 )
 SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
        CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
-      UNION ALL SELECT * FROM vid) u
+      UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg) u
 """
 
 

@@ -545,9 +545,11 @@ def decode_y4m(payload: bytes) -> dict:
 
 
 def decode_media(payload: bytes) -> dict:
-    """Dispatch on magic bytes: REAL decode for uncompressed containers
-    (BMP / P6 PPM / PCM WAV), NotImplementedError for compressed codecs,
-    None for unknown payloads (callers fall back to the stub)."""
+    """Dispatch on magic bytes: REAL decode for BMP / P6 PPM / PCM WAV /
+    PNG / GIF / Y4M / baseline JPEG (operators/jpeg.py, ITU-T T.81),
+    NotImplementedError for still-unsupported codecs (progressive JPEG,
+    MP3, H.264), None for unknown payloads (callers fall back to the
+    stub)."""
     if payload[:2] == b"BM":
         px = decode_bmp(payload)
         return {"kind": "bmp", "width": px.shape[1], "height": px.shape[0],
@@ -568,9 +570,11 @@ def decode_media(payload: bytes) -> dict:
         return {"kind": "png", "width": px.shape[1], "height": px.shape[0],
                 "pixels": px}
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG entropy decoding needs external libs"
-        )
+        from . import jpeg as _jpeg
+
+        px = _jpeg.decode_jpeg(payload)
+        return {"kind": "jpeg", "width": px.shape[1], "height": px.shape[0],
+                "pixels": px}
     return None
 
 
@@ -705,8 +709,11 @@ def resize_media(
                 if decoded is not None and "pixels" in decoded:
                     w, h = decoded["width"], decoded["height"]
                     out_px = resize_image_nn(decoded["pixels"], target_w, target_h)
+                    from . import jpeg as _jpeg
+
                     enc = {"bmp": encode_bmp, "ppm": encode_ppm,
-                           "png": encode_png}[decoded["kind"]]
+                           "png": encode_png,
+                           "jpeg": _jpeg.encode_jpeg}[decoded["kind"]]
                     resized = enc(out_px)
                 else:
                     w, h, _ = _decode_stub(b)

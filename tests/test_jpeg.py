@@ -1,0 +1,139 @@
+"""Baseline JPEG codec (operators/jpeg.py — VERDICT r3 next-#2): the
+decode chain is pinned BIT-EXACTLY against an independent reference
+reconstruction of the quantize->dequantize->IDCT pipeline, so any bug in
+Huffman coding, zigzag, DC prediction, byte stuffing, or restart resync
+shows up as a pixel mismatch, not a tolerance blur."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from s2geo_spark.operators import jpeg
+from s2geo_spark.operators import multimodal as mm
+
+RNG = np.random.default_rng(19)
+
+
+def _reference_gray(px: np.ndarray, quality: int) -> np.ndarray:
+    """Independent reconstruction: what a correct decoder MUST output for
+    a grayscale image our encoder wrote (float DCT path, no entropy
+    coding involved)."""
+    h, w = px.shape
+    ql = jpeg.scaled_quant_table(jpeg.QUANT_LUMA, quality)
+    plane = np.pad(
+        px.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    zz, by, bx = jpeg._quantize_plane(plane, ql)
+    raster = np.zeros_like(zz)
+    raster[:, jpeg.ZIGZAG] = zz
+    sp = jpeg.idct2d((raster * ql).reshape(-1, 8, 8).astype(np.float64)) + 128
+    out = np.clip(np.floor(sp + 0.5), 0, 255)
+    out = out.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return out[:h, :w].astype(np.uint8)
+
+
+class TestZigzag:
+    def test_known_prefix_and_inverse(self):
+        # T.81 figure A.6 first entries: (0,0)(0,1)(1,0)(2,0)(1,1)(0,2)...
+        assert jpeg.ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+        assert jpeg.ZIGZAG[-1] == 63
+        r = np.arange(64)
+        assert np.array_equal(r[jpeg.ZIGZAG][jpeg.UNZIGZAG], r)
+
+
+class TestGrayscale:
+    def test_block_constant_lossless_at_q75(self):
+        # quality 75 scales the luminance DC quantizer to exactly 8, so
+        # constant 8x8 blocks survive the whole pipeline bit-for-bit —
+        # the property the media_decode oracle builds on
+        assert jpeg.scaled_quant_table(jpeg.QUANT_LUMA, 75)[0] == 8
+        px = np.zeros((16, 24), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(3):
+                px[by * 8 :, bx * 8 : (bx + 1) * 8] = (91 * by + 37 * bx) % 256
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75))
+        assert out.shape == (16, 24, 1)
+        assert np.array_equal(out[:, :, 0], px)
+
+    @pytest.mark.parametrize("quality", [35, 75, 92])
+    @pytest.mark.parametrize("shape", [(8, 8), (24, 17), (1, 1), (9, 40)])
+    def test_random_bit_exact_vs_reference(self, quality, shape):
+        px = RNG.integers(0, 256, shape).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality))
+        assert np.array_equal(out[:, :, 0], _reference_gray(px, quality))
+
+    def test_restart_markers_round_trip(self):
+        px = RNG.integers(0, 256, (32, 48)).astype(np.uint8)
+        b = jpeg.encode_jpeg(px, quality=75, restart_interval=3)
+        assert b"\xff\xdd" in b  # DRI present
+        out = jpeg.decode_jpeg(b)
+        assert np.array_equal(out[:, :, 0], _reference_gray(px, 75))
+
+
+class TestColor:
+    def test_444_and_420_shapes_and_quality(self):
+        yy, xx = np.meshgrid(np.arange(32), np.arange(40), indexing="ij")
+        px = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=2
+        ).astype(np.uint8)
+        px = (px // 4 + 96).astype(np.uint8)
+        for sub in ("444", "420"):
+            out = jpeg.decode_jpeg(
+                jpeg.encode_jpeg(px, quality=90, subsampling=sub)
+            )
+            assert out.shape == px.shape
+            err = np.abs(out.astype(int) - px.astype(int)).mean()
+            assert err < 2.0, f"{sub}: mean err {err}"
+
+    def test_odd_dims_420(self):
+        px = RNG.integers(0, 256, (13, 11, 3)).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=85, subsampling="420"))
+        assert out.shape == (13, 11, 3)
+
+
+class TestRobustness:
+    def test_progressive_raises(self):
+        px = np.zeros((8, 8), dtype=np.uint8)
+        b = bytearray(jpeg.encode_jpeg(px))
+        i = b.index(b"\xff\xc0")
+        b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(bytes(b))
+
+    def test_hostile_dims_rejected(self):
+        px = np.zeros((8, 8), dtype=np.uint8)
+        b = bytearray(jpeg.encode_jpeg(px))
+        i = b.index(b"\xff\xc0")
+        struct.pack_into(">HH", b, i + 5, 60_000, 60_000)  # h, w in SOF
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bytes(b))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(b"\x00\x01\x02\x03")
+
+
+class TestDispatchAndPlumbing:
+    def test_decode_media_dispatch(self):
+        px = RNG.integers(0, 256, (16, 16)).astype(np.uint8)
+        dec = mm.decode_media(jpeg.encode_jpeg(px, quality=75))
+        assert dec["kind"] == "jpeg"
+        assert (dec["width"], dec["height"]) == (16, 16)
+        assert np.array_equal(dec["pixels"][:, :, 0], _reference_gray(px, 75))
+
+    def test_sniff(self):
+        px = np.zeros((8, 8), dtype=np.uint8)
+        assert mm._sniff_format(jpeg.encode_jpeg(px)[:16]) == "jpeg"
+
+    def test_resize_media_reencodes_jpeg(self, spark):
+        px = RNG.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+        df = spark.createDataFrame(
+            [("j", bytearray(jpeg.encode_jpeg(px, quality=85)))],
+            "key string, payload binary",
+        )
+        out = mm.resize_media(df, "key", "payload", 8, 8).toPandas()
+        assert len(out) == 1
+        resized = mm.decode_media(bytes(out.iloc[0]["resized"]))
+        assert resized["kind"] == "jpeg"
+        assert (resized["width"], resized["height"]) == (8, 8)

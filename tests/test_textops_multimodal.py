@@ -145,7 +145,15 @@ class TestRealCodecs:
         s = np.zeros(8, dtype=np.int16)
         assert mm.decode_media(mm.encode_wav(s))["kind"] == "wav"
         assert mm.decode_media(b"random junk bytes") is None
-        with pytest.raises(NotImplementedError):  # JPEG stays honest
+        # baseline JPEG now REALLY decodes (operators/jpeg.py, r4) —
+        # garbage after the magic raises a parse error, not a fake result
+        from s2geo_spark.operators import jpeg as jp
+
+        assert (
+            mm.decode_media(jp.encode_jpeg(np.zeros((8, 8), np.uint8)))["kind"]
+            == "jpeg"
+        )
+        with pytest.raises(Exception):
             mm.decode_media(b"\xff\xd8\xff\xe0...")
         with pytest.raises(Exception):  # PNG magic with garbage body
             mm.decode_media(b"\x89PNG\r\n\x1a\n...")
