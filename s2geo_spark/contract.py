@@ -2010,6 +2010,132 @@ FROM dp WHERE i = {_DTW_NA - 1} AND j = {_DTW_NB - 1}
 """
 
 
+_MED_L, _MED_V = 4, 5  # polylines per nation group, vertices per line
+
+
+def _med_key(line: int, k: int) -> str:
+    return f"(CAST(n_nationkey AS BIGINT)*4000 + {line * 97 + k * 13 + 7})"
+
+
+def q_dtw_medoid(spark, sf_dir):
+    """Medoid polyline per group (GetMedoidPolyline,
+    src/s2/s2polyline_alignment.h:83-87): per nation, 4 deterministic
+    5-vertex polylines; the medoid minimizes the summed pairwise DTW
+    cost (quantized to integer 1e-9 chord-squared units, lowest index on
+    ties). The oracle reruns all 6 pairwise min-plus DPs in SQL and
+    re-derives the argmin, so both the pairwise costs AND the selection
+    rule are value-checked. The approximate FastDTW path
+    (kernel/polyline.approx_dtw_alignment) is pinned separately by
+    tests/test_polyline_ops.py — for these sizes it equals exact by the
+    reference's own switchover rule."""
+    from s2geo_spark.kernel import polyline as poly_k
+    from s2geo_spark.kernel import s2coords as s2c
+
+    n = F.col("n_nationkey").cast("long")
+    lines = _t(spark, sf_dir, "nation").select(
+        n.alias("group_id"),
+        *[
+            F.array(
+                *[
+                    F.array(
+                        geo.lat_col(F.expr(_med_key(l, k))),
+                        geo.lon_col(F.expr(_med_key(l, k))),
+                    )
+                    for k in range(_MED_V)
+                ]
+            ).alias(f"line{l}")
+            for l in range(_MED_L)
+        ],
+    )
+
+    def run(batches):
+        for pdf in batches:
+            gids, meds, tots = [], [], []
+            for _, row in pdf.iterrows():
+                xs = []
+                for l in range(_MED_L):
+                    v = np.stack(
+                        [np.asarray(p, dtype=np.float64) for p in row[f"line{l}"]]
+                    )
+                    x, y, z = s2c.latlng_degrees_to_xyz(v[:, 0], v[:, 1])
+                    xs.append(np.stack([x, y, z], axis=1))
+                med = poly_k.medoid_polyline(
+                    xs, approx=False, cost_quantum=_DTW_QUANTUM
+                )
+                total = sum(
+                    poly_k.dtw_alignment(
+                        xs[med], xs[j], cost_quantum=_DTW_QUANTUM
+                    )[0]
+                    for j in range(_MED_L)
+                    if j != med
+                )
+                gids.append(row["group_id"])
+                meds.append(med)
+                tots.append(int(total))
+            yield pd.DataFrame(
+                {"group_id": gids, "medoid": meds, "total_q": tots}
+            )
+
+    return lines.mapInPandas(run, "group_id long, medoid int, total_q long")
+
+
+def o_dtw_medoid():
+    verts = " UNION ALL ".join(
+        f"SELECT CAST(n_nationkey AS BIGINT) AS gid, {l} AS l, {k} AS k, "
+        f"{geo.lat_sql(_med_key(l, k))} AS lat, "
+        f"{geo.lon_sql(_med_key(l, k))} AS lon FROM nation"
+        for l in range(_MED_L)
+        for k in range(_MED_V)
+    )
+    last = _MED_V - 1
+    return f"""
+WITH RECURSIVE
+verts0 AS ({verts}),
+verts AS (SELECT gid, l, k, {_XYZ_SQL} FROM verts0),
+prs AS (SELECT * FROM (VALUES (0,0,1),(1,0,2),(2,0,3),
+                              (3,1,2),(4,1,3),(5,2,3)) AS p(pid, l1, l2)),
+costs AS (
+  SELECT a.gid * 10 + p.pid AS line_id, a.k AS i, b.k AS j,
+         CAST(round(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                   + (a.z-b.z)*(a.z-b.z)) / {_DTW_QUANTUM!r}) AS BIGINT) AS cq
+  FROM prs p
+  JOIN verts a ON a.l = p.l1
+  JOIN verts b ON b.l = p.l2 AND b.gid = a.gid
+),
+cp AS (
+  SELECT *, SUM(cq) OVER (PARTITION BY line_id, i ORDER BY j) AS pref
+  FROM costs
+),
+dp AS (
+  SELECT line_id, 0 AS i, j, pref AS cost FROM cp WHERE i = 0
+  UNION ALL
+  SELECT tgt.line_id, tgt.i, tgt.j,
+         MIN(d.cost + tgt.pref - (kk.pref - kk.cq)) AS cost
+  FROM cp tgt
+  JOIN cp kk ON kk.line_id = tgt.line_id AND kk.i = tgt.i AND kk.j <= tgt.j
+  JOIN dp d ON d.line_id = tgt.line_id AND d.i = tgt.i - 1
+           AND d.j IN (kk.j, kk.j - 1)
+  GROUP BY tgt.line_id, tgt.i, tgt.j
+),
+pair_cost AS (
+  SELECT line_id // 10 AS gid, line_id % 10 AS pid, cost
+  FROM dp WHERE i = {last} AND j = {last}
+),
+line_tot AS (
+  SELECT pc.gid, ll.l AS line, SUM(pc.cost) AS tot
+  FROM pair_cost pc
+  JOIN prs p ON p.pid = pc.pid
+  JOIN (VALUES (0),(1),(2),(3)) AS ll(l) ON ll.l IN (p.l1, p.l2)
+  GROUP BY pc.gid, ll.l
+)
+SELECT gid AS group_id,
+       CAST((LIST(line ORDER BY tot, line))[1] AS INT) AS medoid,
+       CAST((LIST(tot ORDER BY tot, line))[1] AS BIGINT) AS total_q
+FROM line_tot
+GROUP BY gid
+"""
+
+
 # Cell-union set algebra fixture: synthetic mixed-level (8 and 10) cell
 # sets built ARITHMETICALLY from customer/supplier keys inside one small
 # curve-position domain, so a SQL oracle can rebuild the exact inputs and
@@ -3589,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_simple_covering": q_simple_covering,
         "s2_canonicalize": q_canonicalize,
         "s2_dtw_align": q_dtw,
+        "s2_dtw_medoid": q_dtw_medoid,
         "s2_simplify": q_simplify,
         "s2_tessellate": q_tessellate,
         "s2_closest_cell": q_closest_cell,
@@ -3647,6 +3774,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_simple_covering": o_cap_covering(),
         "s2_canonicalize": o_canonicalize(),
         "s2_dtw_align": o_dtw(),
+        "s2_dtw_medoid": o_dtw_medoid(),
         "s2_simplify": o_simplify(),
         "s2_tessellate": o_tessellate(),
         "s2_closest_cell": o_closest_cell(),

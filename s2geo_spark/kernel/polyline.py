@@ -160,6 +160,184 @@ def dtw_alignment(a: np.ndarray, b: np.ndarray, cost_quantum: float | None = Non
     return float(dp[na - 1, nb - 1]), path
 
 
+def _window_from_path(path, rows: int, cols: int) -> np.ndarray:
+    """Warp path -> per-row column strides [start, end) (the reference's
+    Window(WarpPath) constructor, s2polyline_alignment.cc:51-77)."""
+    strides = np.zeros((rows, 2), dtype=np.int64)
+    prev_row = 0
+    stride_start = 0
+    stride_stop = 0
+    for i, j in path:
+        if i > prev_row:
+            strides[prev_row] = (stride_start, stride_stop)
+            stride_start = j
+            prev_row = i
+        stride_stop = j + 1
+    strides[rows - 1] = (stride_start, stride_stop)
+    return strides
+
+
+def _upsample_window(strides: np.ndarray, new_rows: int, new_cols: int) -> np.ndarray:
+    """Window::Upsample (s2polyline_alignment.cc:80-92), same rounding."""
+    rows = strides.shape[0]
+    cols = int(strides[-1, 1])
+    row_scale = new_rows / rows
+    col_scale = new_cols / cols
+    out = np.zeros((new_rows, 2), dtype=np.int64)
+    for row in range(new_rows):
+        src = strides[int((row + 0.5) / row_scale)]
+        out[row] = (int(col_scale * src[0] + 0.5), int(col_scale * src[1] + 0.5))
+    return out
+
+
+def _dilate_window(strides: np.ndarray, radius: int) -> np.ndarray:
+    """Window::Dilate (s2polyline_alignment.cc:102-112)."""
+    rows = strides.shape[0]
+    cols = int(strides[-1, 1])
+    out = np.zeros_like(strides)
+    for row in range(rows):
+        prev_row = max(0, row - radius)
+        next_row = min(row + radius, rows - 1)
+        out[row] = (
+            max(0, int(strides[prev_row, 0]) - radius),
+            min(int(strides[next_row, 1]) + radius, cols),
+        )
+    return out
+
+
+def _windowed_dtw(a, b, strides, cost_quantum):
+    """DTW restricted to a column-stride window; identical recurrence and
+    diag>up>left tie-break as dtw_alignment (full window == exact — tests
+    pin it). Returns (total_cost, path)."""
+    na, nb = a.shape[0], b.shape[0]
+    cost = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    if cost_quantum is not None:
+        cost = np.floor(cost / cost_quantum + 0.5)
+    dp = np.full((na, nb), np.inf)
+    for i in range(na):
+        s, e = int(strides[i, 0]), int(strides[i, 1])
+        for j in range(s, e):
+            if i == 0 and j == 0:
+                dp[0, 0] = cost[0, 0]
+                continue
+            best = np.inf
+            if i > 0:
+                best = min(best, dp[i - 1, j])
+            if j > 0:
+                best = min(best, dp[i, j - 1])
+            if i > 0 and j > 0:
+                best = min(best, dp[i - 1, j - 1])
+            dp[i, j] = cost[i, j] + best
+    path = [(na - 1, nb - 1)]
+    i, j = na - 1, nb - 1
+    while (i, j) != (0, 0):
+        cands = []
+        if i > 0 and j > 0:
+            cands.append((dp[i - 1, j - 1], (i - 1, j - 1)))
+        if i > 0:
+            cands.append((dp[i - 1, j], (i - 1, j)))
+        if j > 0:
+            cands.append((dp[i, j - 1], (i, j - 1)))
+        _, (i, j) = min(cands, key=lambda t: t[0])
+        path.append((i, j))
+    path.reverse()
+    return float(dp[na - 1, nb - 1]), path
+
+
+def approx_dtw_alignment(
+    a: np.ndarray,
+    b: np.ndarray,
+    radius: int | None = None,
+    cost_quantum: float | None = None,
+):
+    """FastDTW approximate vertex alignment (GetApproxVertexAlignment,
+    src/s2/s2polyline_alignment.h:139-156, .cc:304-341; Salvador & Chan):
+    recursively halve both polylines, align at the coarse level, then
+    solve the fine level restricted to the projected warp path's window
+    upsampled and dilated by `radius`. O(max(A,B)) cells instead of
+    O(A*B) — the path that makes long-trace alignment usable at scale.
+
+    Same switchover constants as the reference (exact below 32 vertices
+    or when the window would cover >= 85% of the table, so small inputs
+    return the exact answer bit-for-bit). radius defaults to
+    max(len)^0.25. Costs/quantum semantics identical to dtw_alignment."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    na, nb = a.shape[0], b.shape[0]
+    if radius is None:
+        radius = int(max(na, nb) ** 0.25)
+    # reference switchover points (s2polyline_alignment.cc:308-328)
+    if na - radius < 32 or nb - radius < 32:
+        return dtw_alignment(a, b, cost_quantum=cost_quantum)
+    if max(na, nb) * (2 * radius + 1) > na * nb * 0.85:
+        return dtw_alignment(a, b, cost_quantum=cost_quantum)
+    a_half = a[::2]
+    b_half = b[::2]
+    _, proj = approx_dtw_alignment(a_half, b_half, radius, cost_quantum)
+    strides = _window_from_path(proj, a_half.shape[0], b_half.shape[0])
+    strides = _dilate_window(_upsample_window(strides, na, nb), radius)
+    return _windowed_dtw(a, b, strides, cost_quantum)
+
+
+def medoid_polyline(
+    lines: list,
+    approx: bool = True,
+    cost_quantum: float | None = None,
+) -> int:
+    """Index of the polyline minimizing summed alignment cost to all the
+    others (GetMedoidPolyline, src/s2/s2polyline_alignment.h:83-87,
+    .cc:351-368): lower-triangle pairwise costs mirrored across the
+    diagonal, lowest index on ties."""
+    n = len(lines)
+    if n == 0:
+        raise ValueError("empty polyline collection")
+    costs = [0.0] * n
+    for i in range(n):
+        for j in range(i + 1, n):
+            if approx:
+                c, _ = approx_dtw_alignment(
+                    lines[i], lines[j], cost_quantum=cost_quantum
+                )
+            else:
+                c, _ = dtw_alignment(lines[i], lines[j], cost_quantum=cost_quantum)
+            costs[i] += c
+            costs[j] += c
+    return int(np.argmin(costs))  # argmin returns the FIRST minimum
+
+
+def consensus_polyline(
+    lines: list,
+    approx: bool = True,
+    seed_medoid: bool = False,
+    iteration_cap: int = 5,
+) -> np.ndarray:
+    """Dynamic Timewarp Barycenter Averaging consensus
+    (GetConsensusPolyline, src/s2/s2polyline_alignment.h:90-156,
+    .cc:383-430; Petitjean et al.): seed with the first line (or the
+    medoid), then iteratively align the consensus to every input, sum
+    the matched vertices per consensus index, and renormalize to the
+    unit sphere; stop on convergence or at iteration_cap. The result
+    keeps the seed's vertex count."""
+    n = len(lines)
+    if n == 0:
+        raise ValueError("empty polyline collection")
+    seed = medoid_polyline(lines, approx=approx) if seed_medoid else 0
+    consensus = np.array(lines[seed], dtype=np.float64, copy=True)
+    nc = consensus.shape[0]
+    align = approx_dtw_alignment if approx else dtw_alignment
+    for _ in range(iteration_cap):
+        acc = np.zeros((nc, 3))
+        for line in lines:
+            _, path = align(consensus, np.asarray(line, dtype=np.float64))
+            for ci, pi in path:
+                acc[ci] += line[pi]
+        acc /= np.linalg.norm(acc, axis=1, keepdims=True)
+        if np.array_equal(acc, consensus):
+            break
+        consensus = acc
+    return consensus
+
+
 def buffer_loop(vertices: np.ndarray, radius_rad: float,
                 max_cells: int = 256) -> list[np.ndarray]:
     """Grid-quantized buffer of a loop (S2BufferOperation semantics at

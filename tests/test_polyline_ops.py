@@ -75,6 +75,104 @@ class TestDtw:
         assert ((di + dj) >= 1).all()
 
 
+def _rand_line(n, seed_off=0):
+    rng = np.random.default_rng(100 + seed_off)
+    v = rng.normal(size=(n, 3))
+    v[:, 2] += 5
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+class TestApproxDtw:
+    """FastDTW path (GetApproxVertexAlignment,
+    src/s2/s2polyline_alignment.h:139-156) — r4, VERDICT r3 next-#7."""
+
+    def test_full_window_equals_exact(self):
+        for na, nb in [(5, 7), (12, 9), (3, 3), (20, 20)]:
+            a, b = _rand_line(na), _rand_line(nb, 1)
+            strides = np.array([[0, nb]] * na)
+            ce, pe = pl.dtw_alignment(a, b, cost_quantum=1e-9)
+            cw, pw = pl._windowed_dtw(a, b, strides, 1e-9)
+            assert ce == cw and pe == pw
+
+    def test_small_inputs_route_to_exact(self):
+        # reference switchover: below 32 vertices approx IS exact
+        a, b = _rand_line(20), _rand_line(25, 1)
+        ce, pe = pl.dtw_alignment(a, b)
+        ca, pa = pl.approx_dtw_alignment(a, b)
+        assert ce == ca and pe == pa
+
+    def test_large_radius_equals_exact(self):
+        a, b = _rand_line(100), _rand_line(90, 1)
+        ce, _ = pl.dtw_alignment(a, b)
+        ca, _ = pl.approx_dtw_alignment(a, b, radius=100)
+        assert abs(ce - ca) < 1e-12
+
+    def test_approx_upper_bounds_exact_and_is_close(self):
+        a, b = _rand_line(120), _rand_line(110, 1)
+        ce, _ = pl.dtw_alignment(a, b)
+        ca, path = pl.approx_dtw_alignment(a, b, radius=4)
+        assert ca >= ce - 1e-12  # windowed optimum cannot beat the exact
+        assert ca <= 2.0 * ce  # and the window keeps it in the ballpark
+        assert path[0] == (0, 0) and path[-1] == (119, 109)
+        di = np.diff([p[0] for p in path])
+        dj = np.diff([p[1] for p in path])
+        assert (di >= 0).all() and (dj >= 0).all() and ((di + dj) >= 1).all()
+
+    def test_window_ops_validity(self):
+        a, b = _rand_line(40), _rand_line(36, 1)
+        _, path = pl.dtw_alignment(a[::2], b[::2])
+        s = pl._window_from_path(path, 20, 18)
+        up = pl._upsample_window(s, 40, 36)
+        di = pl._dilate_window(up, 2)
+        for strides, rows, cols in [(s, 20, 18), (up, 40, 36), (di, 40, 36)]:
+            assert strides[0, 0] == 0 and strides[-1, 1] == cols
+            assert (strides[:, 0] < strides[:, 1]).all()
+            # monotone non-decreasing starts/ends (valid warp window)
+            assert (np.diff(strides[:, 0]) >= 0).all()
+            assert (np.diff(strides[:, 1]) >= 0).all()
+
+
+class TestMedoidConsensus:
+    """GetMedoidPolyline / GetConsensusPolyline
+    (src/s2/s2polyline_alignment.h:83-87, 190-230)."""
+
+    def test_medoid_picks_cluster_member(self):
+        base = _rand_line(8)
+        rng = np.random.default_rng(5)
+        lines = []
+        for _ in range(3):
+            n = base + rng.normal(scale=1e-3, size=base.shape)
+            lines.append(n / np.linalg.norm(n, axis=1, keepdims=True))
+        lines.append(_rand_line(8, 9))  # outlier
+        assert pl.medoid_polyline(lines, approx=False) in (0, 1, 2)
+
+    def test_medoid_tie_breaks_lowest_index(self):
+        # two identical polylines: costs tie at 0, reference returns 0
+        base = _rand_line(6)
+        assert pl.medoid_polyline([base, base.copy()], approx=False) == 0
+
+    def test_consensus_fixed_point_on_identical(self):
+        base = _rand_line(7)
+        cons = pl.consensus_polyline([base.copy() for _ in range(4)],
+                                     approx=False)
+        assert cons.shape == base.shape
+        assert np.allclose(cons, base, atol=1e-12)
+
+    def test_consensus_improves_over_seed(self):
+        base = _rand_line(8)
+        rng = np.random.default_rng(6)
+        noisy = []
+        for _ in range(5):
+            n = base + rng.normal(scale=5e-3, size=base.shape)
+            noisy.append(n / np.linalg.norm(n, axis=1, keepdims=True))
+        cons = pl.consensus_polyline(noisy, approx=False, iteration_cap=10)
+        cost_cons = sum(pl.dtw_alignment(cons, l)[0] for l in noisy)
+        cost_seed = sum(pl.dtw_alignment(noisy[0], l)[0] for l in noisy)
+        assert cost_cons <= cost_seed
+        # unit-sphere vertices
+        assert np.allclose(np.linalg.norm(cons, axis=1), 1.0, atol=1e-12)
+
+
 class TestBufferLoop:
     def test_buffer_covers_dilation(self):
         loop = lps.make_regular_loop(40.0, -70.0, 2.0, 64)
