@@ -383,8 +383,12 @@ def is_valid(h):
 # public API
 # ---------------------------------------------------------------------------
 
-def geo_to_h3(lat_deg, lon_deg, res: int):
+def geo_to_h3(lat_deg, lon_deg, res: int, layout: str = "face20"):
     """(lat, lng) degrees -> hex index at resolution res.
+
+    layout="h3" opts into the true 122-base-cell Dymaxion structure
+    (kernel/h3_dymaxion.py — 12 pentagons, seamless rings, exact center
+    round-trips; still NOT libh3-bit-compatible, see its header).
 
     Assignment: nearest face (icosahedral Voronoi) first, then the nearest
     hex center on that face's grid (cube rounding — provably nearest
@@ -396,6 +400,10 @@ def geo_to_h3(lat_deg, lon_deg, res: int):
     <0.1% at res >= 7, worst ~25% at res 0). A global-nearest-center
     variant was tried and rejected — it turns the tiling into the Voronoi
     of 7x overlapping representable centers and breaks the partition."""
+    if layout == "h3":
+        from . import h3_dymaxion
+
+        return h3_dymaxion.geo_to_h3(lat_deg, lon_deg, res).view(np.uint64)
     lat_deg = np.asarray(lat_deg, dtype=np.float64)
     res = int(res)
     face, x, y = _geo_to_hex2d(lat_deg, lon_deg, res)
@@ -487,8 +495,10 @@ def _clip_region_representative(face, i, j, k, res):
     return p3 / np.linalg.norm(p3)
 
 
-def h3_to_geo(h):
+def h3_to_geo(h, layout: str = "face20"):
     """Index -> representative point (lat, lng) degrees.
+
+    layout="h3" routes to the 122-base-cell Dymaxion layout.
 
     For interior cells this is the true hex center. For border cells whose
     unclipped center exits the face patch (the face-clipped tiling's
@@ -496,6 +506,10 @@ def h3_to_geo(h):
     hex clipped to the face patch (exact convex polygon clip in the
     gnomonic plane) — so geo_to_h3(h3_to_geo(h)) is exact at every
     resolution (swept 0..15 in tests)."""
+    if layout == "h3":
+        from . import h3_dymaxion
+
+        return h3_dymaxion.h3_to_geo(np.asarray(h).astype(np.int64))
     face, res, i, j, k = h3_to_ijk(h)
     center = _ijk_center_xyz(face, i, j, k, np.asarray(res, dtype=np.float64))
     nearest = np.argmax(center @ FACE_CENTERS.T, axis=-1)
@@ -514,8 +528,12 @@ def h3_to_geo(h):
 
 
 
-def h3_to_parent(h, parent_res: int):
+def h3_to_parent(h, parent_res: int, layout: str = "face20"):
     """Truncate the digit path."""
+    if layout == "h3":
+        from . import h3_dymaxion
+
+        return h3_dymaxion.h3_to_parent(h, parent_res)
     h = np.asarray(h, dtype=np.uint64)
     res = get_resolution(h)
     parent_res = int(parent_res)
@@ -547,8 +565,11 @@ def h3_to_center_child(h, child_res: int):
     return np.where(res > child_res, h, out)
 
 
-def k_ring(h, k: int):
+def k_ring(h, k: int, layout: str = "face20"):
     """All cells within hex-grid distance k, CROSS-FACE.
+
+    layout="h3" routes to the Dymaxion layout's seamless BFS ring (no
+    duplicate entries by construction; variable return length).
 
     Returns (n, m) uint64 with m = 1 + 3k(k+1). Ring entries whose
     face-local IJK is unrepresentable or whose geometric center exits the
@@ -557,6 +578,12 @@ def k_ring(h, k: int):
     geometric neighbor center" (the face-rooted analogue of libh3's
     cross-face IJK rotation; the two grids differ slightly at the seam,
     documented). Round-1's face-local truncation is gone."""
+    if layout == "h3":
+        from . import h3_dymaxion
+
+        return h3_dymaxion.k_ring(
+            np.asarray(h, dtype=np.uint64).view(np.int64), k
+        ).view(np.uint64)
     h = np.asarray(h, dtype=np.uint64)
     face, res, i, j, k0 = h3_to_ijk(h)
     # hex offsets within grid distance k: this lattice's unit moves are

@@ -181,3 +181,126 @@ class TestCrossFaceRing:
                 rlat, rlon = h3.h3_to_geo(ring[:, col])
                 cc = h3._latlng_to_xyz(rlat, rlon)
                 assert (np.linalg.norm(cc - c0, axis=1) <= 3.5 * cell_rad).all()
+
+
+class TestDymaxionLayout:
+    """Opt-in 122-base-cell layout (kernel/h3_dymaxion.py, VERDICT r3
+    next-#6): the strongest validation POSSIBLE in this sandbox —
+    self-consistency properties, explicitly not libh3 bit-compat."""
+
+    def _pts(self, n=4000, seed=11):
+        rng = np.random.default_rng(seed)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        lon = rng.uniform(-180, 180, n)
+        return lat, lon
+
+    def test_base_structure(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        assert hd._BASE_CENTERS.shape == (122, 3)
+        assert int(hd._BASE_IS_PENT.sum()) == 12
+        assert hd.num_cells(0) == 122
+        assert hd.num_cells(1) == 842  # published H3 cell-count formula
+        # pentagons sit exactly on icosahedron vertices: each has 5
+        # nearest base neighbors at equal distance
+        pents = hd._BASE_CENTERS[hd._BASE_IS_PENT]
+        hexes = hd._BASE_CENTERS[~hd._BASE_IS_PENT]
+        for p in pents:
+            d = np.sort(np.arccos(np.clip(hexes @ p, -1, 1)))[:5]
+            assert d.std() < 1e-9  # 5-fold symmetric surroundings
+
+    def test_center_round_trip_exact(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        lat, lon = self._pts()
+        for res in (0, 1, 2, 3, 5, 8):
+            h = np.unique(hd.geo_to_h3(lat, lon, res))
+            la, lo = hd.h3_to_geo(h)
+            assert np.array_equal(h, hd.geo_to_h3(la, lo, res)), res
+
+    def test_validity_and_pentagon_digits(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        lat, lon = self._pts(2000)
+        for res in (0, 2, 5):
+            h = hd.geo_to_h3(lat, lon, res)
+            assert hd.is_valid(h).all()
+            # pentagon lineage never contains the deleted digit 1
+            base = hd.get_base(h)
+            pent = hd._BASE_IS_PENT[base]
+            for r in range(res):
+                d = hd.get_digit(h, r)
+                assert not np.any(pent & (d == 1))
+                pent = pent & (d == 0)
+
+    def test_parent_arithmetic_and_center_child(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        lat, lon = self._pts(1000)
+        h = hd.geo_to_h3(lat, lon, 6)
+        p = hd.h3_to_parent(h, 3)
+        assert (hd.get_resolution(p) == 3).all()
+        # center child of the parent truncates back
+        cc = hd.h3_to_center_child(p, 6)
+        assert np.array_equal(hd.h3_to_parent(cc, 3), p)
+        # spatial prefix agreement is approximate (the poke-out analogue,
+        # documented) but strong
+        agree = (hd.h3_to_parent(h, 5) == hd.geo_to_h3(lat, lon, 5)).mean()
+        assert agree > 0.85
+
+    def test_res0_pentagons_are_the_12_smallest(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        lat, lon = self._pts(300_000, seed=3)
+        h0 = hd.geo_to_h3(lat, lon, 0)
+        import collections
+
+        cnt = collections.Counter(h0.tolist())
+        assert len(cnt) == 122
+        pent_ids = set(
+            int(v)
+            for v in hd._pack(np.where(hd._BASE_IS_PENT)[0], 0, []).tolist()
+        )
+        items = sorted(cnt.items(), key=lambda kv: kv[1])
+        assert set(k for k, _ in items[:12]) == pent_ids
+        # pentagon area fraction is materially below hex area
+        pmean = np.mean([cnt[k] for k in pent_ids])
+        hmean = np.mean([v for k, v in cnt.items() if k not in pent_ids])
+        assert 0.55 < pmean / hmean < 0.92
+
+    def test_k_ring_reciprocal_and_duplicate_free(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        lat, lon = self._pts(1500, seed=9)
+        rng = np.random.default_rng(4)
+        import collections
+
+        for res in (1, 2):
+            allc = np.unique(hd.geo_to_h3(lat, lon, res))
+            hs = rng.choice(allc, 40, replace=False)
+            sizes = collections.Counter()
+            for h in hs.tolist():
+                ring = hd.k_ring(np.array([h]), 1)
+                # BFS returns sorted unique ids: no seam duplicates ever
+                assert len(ring) == len(set(ring.tolist()))
+                nbrs = set(ring.tolist()) - {h}
+                if bool(hd.is_pentagon(np.array([h]))[0]):
+                    assert len(nbrs) == 5
+                sizes[len(nbrs)] += 1
+                for nb in nbrs:
+                    back = set(hd.k_ring(np.array([nb]), 1).tolist())
+                    assert h in back  # reciprocity, exact
+            # interior cells dominate: most rings are exactly 6
+            frac6 = sizes[6] / sum(sizes.values())
+            assert frac6 > 0.45, dict(sizes)
+
+    def test_layout_kwarg_dispatch(self):
+        lat = np.array([47.3769, -33.86])
+        lon = np.array([8.5417, 151.21])
+        dflt = h3.geo_to_h3(lat, lon, 6)
+        opt = h3.geo_to_h3(lat, lon, 6, layout="h3")
+        assert not np.array_equal(dflt, opt)  # different layouts
+        la, lo = h3.h3_to_geo(opt, layout="h3")
+        assert np.array_equal(h3.geo_to_h3(la, lo, 6, layout="h3"), opt)
+        ring = h3.k_ring(opt[:1], 1, layout="h3")
+        assert len(ring) == len(set(ring.tolist()))
