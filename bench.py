@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "s2_union_algebra",
     "s2_stream_tiles",
     "s2_canonicalize",
+    "s2_dtw_medoid",
     "media_decode",
     "dedup_minhash",
     "dedup_jaccard_pairs",

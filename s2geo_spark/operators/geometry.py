@@ -221,3 +221,94 @@ def convex_hull(
         return pd.DataFrame(out)
 
     return points.groupBy(group_col).applyInPandas(per_group, schema=out_schema)
+
+
+def polyline_medoid(
+    lines: DataFrame,
+    group_col: str = "group_id",
+    line_col: str = "line_id",
+    verts_col: str = "verts",
+    approx: bool = True,
+    cost_quantum: float | None = None,
+) -> DataFrame:
+    """Medoid polyline per group (GetMedoidPolyline,
+    src/s2/s2polyline_alignment.h:83-87): input one row per polyline with
+    `verts` = array of [lat, lon] pairs; output (group_id, medoid_line_id,
+    total_cost) where total_cost is the medoid's summed alignment cost to
+    the rest of its group. approx=True uses the FastDTW path (the
+    reference's MedoidOptions default). applyInPandas per group — the
+    pairwise O(N^2) cost matrix stays inside one task per group while
+    groups spread across executors."""
+    from s2geo_spark.kernel import polyline as poly_k
+
+    out_schema = f"{group_col} long, medoid_line_id long, total_cost double"
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(line_col)
+        xs = [_verts_to_xyz(v) for v in pdf[verts_col]]
+        med = poly_k.medoid_polyline(
+            xs, approx=approx, cost_quantum=cost_quantum
+        )
+        align = (
+            poly_k.approx_dtw_alignment if approx else poly_k.dtw_alignment
+        )
+        total = sum(
+            align(xs[med], xs[j], cost_quantum=cost_quantum)[0]
+            for j in range(len(xs))
+            if j != med
+        )
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "medoid_line_id": [int(pdf[line_col].iloc[med])],
+                "total_cost": [float(total)],
+            }
+        )
+
+    return lines.groupBy(group_col).applyInPandas(per_group, out_schema)
+
+
+def polyline_consensus(
+    lines: DataFrame,
+    group_col: str = "group_id",
+    line_col: str = "line_id",
+    verts_col: str = "verts",
+    approx: bool = True,
+    seed_medoid: bool = False,
+    iteration_cap: int = 5,
+) -> DataFrame:
+    """DBA consensus polyline per group (GetConsensusPolyline,
+    src/s2/s2polyline_alignment.h:190-230): output (group_id, vertex_idx,
+    lat, lon) — the consensus keeps the seed line's vertex count (the
+    group's first line by line_id, or the medoid with seed_medoid)."""
+    from s2geo_spark.kernel import polyline as poly_k
+
+    out_schema = f"{group_col} long, vertex_idx int, lat double, lon double"
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(line_col)
+        xs = [_verts_to_xyz(v) for v in pdf[verts_col]]
+        cons = poly_k.consensus_polyline(
+            xs,
+            approx=approx,
+            seed_medoid=seed_medoid,
+            iteration_cap=iteration_cap,
+        )
+        lat = np.degrees(np.arcsin(np.clip(cons[:, 2], -1, 1)))
+        lon = np.degrees(np.arctan2(cons[:, 1], cons[:, 0]))
+        return pd.DataFrame(
+            {
+                group_col: key[0],
+                "vertex_idx": np.arange(len(cons), dtype=np.int32),
+                "lat": lat,
+                "lon": lon,
+            }
+        )
+
+    return lines.groupBy(group_col).applyInPandas(per_group, out_schema)
+
+
+def _verts_to_xyz(verts) -> np.ndarray:
+    v = np.stack([np.asarray(p, dtype=np.float64) for p in verts])
+    x, y, z = sc.latlng_degrees_to_xyz(v[:, 0], v[:, 1])
+    return np.stack([x, y, z], axis=1)

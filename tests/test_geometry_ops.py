@@ -110,3 +110,68 @@ def test_convex_hull_contains_all_points(spark):
         # and must NOT contain a far-away point
         fx, fy, fz = sc.latlng_degrees_to_xyz(np.array([-80.0]), np.array([0.0]))
         assert not lp.contains_points(np.array([[fx[0], fy[0], fz[0]]]))[0]
+
+
+class TestAlignmentOperators:
+    """Grouped medoid/consensus DataFrame operators (r4)."""
+
+    def _lines_df(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(13)
+        rows = []
+        for g in range(3):
+            base_lat = 40.0 + 5 * g + rng.normal(0, 0.01, 6)
+            base_lon = 8.0 + 5 * g + np.linspace(0, 1, 6)
+            for l in range(4):
+                lat = base_lat + rng.normal(0, 0.02, 6)
+                lon = base_lon + rng.normal(0, 0.02, 6)
+                rows.append(
+                    (g, l, [[float(a), float(b)] for a, b in zip(lat, lon)])
+                )
+        return spark.createDataFrame(
+            rows, "group_id long, line_id long, verts array<array<double>>"
+        )
+
+    def test_medoid_matches_kernel(self, spark):
+        import numpy as np
+
+        from s2geo_spark.kernel import polyline as pk
+        from s2geo_spark.operators import geometry as g
+
+        df = self._lines_df(spark)
+        out = g.polyline_medoid(df, approx=False).toPandas()
+        assert len(out) == 3
+        pdf = df.toPandas()
+        for _, row in out.iterrows():
+            grp = pdf[pdf["group_id"] == row["group_id"]].sort_values("line_id")
+            xs = [g._verts_to_xyz(v) for v in grp["verts"]]
+            assert pk.medoid_polyline(xs, approx=False) == row["medoid_line_id"]
+
+    def test_consensus_shape_and_quality(self, spark):
+        import numpy as np
+
+        from s2geo_spark.kernel import polyline as pk
+        from s2geo_spark.operators import geometry as g
+
+        df = self._lines_df(spark)
+        out = g.polyline_consensus(df, approx=False, iteration_cap=8).toPandas()
+        # seed vertex count preserved per group
+        for gid, grp in out.groupby("group_id"):
+            assert sorted(grp["vertex_idx"]) == list(range(6))
+        # consensus cost <= seed cost per group
+        pdf = df.toPandas()
+        for gid in (0, 1, 2):
+            grp = pdf[pdf["group_id"] == gid].sort_values("line_id")
+            xs = [g._verts_to_xyz(v) for v in grp["verts"]]
+            cg = out[out["group_id"] == gid].sort_values("vertex_idx")
+            from s2geo_spark.kernel import s2coords as sc2
+
+            x, y, z = sc2.latlng_degrees_to_xyz(
+                cg["lat"].to_numpy(), cg["lon"].to_numpy()
+            )
+            cons = np.stack([x, y, z], axis=1)
+            c_cost = sum(pk.dtw_alignment(cons, l)[0] for l in xs)
+            s_cost = sum(pk.dtw_alignment(xs[0], l)[0] for l in xs)
+            assert c_cost <= s_cost + 1e-15
