@@ -2059,16 +2059,11 @@ def q_dtw_medoid(spark, sf_dir):
                     )
                     x, y, z = s2c.latlng_degrees_to_xyz(v[:, 0], v[:, 1])
                     xs.append(np.stack([x, y, z], axis=1))
-                med = poly_k.medoid_polyline(
-                    xs, approx=False, cost_quantum=_DTW_QUANTUM
+                med, costs = poly_k.medoid_polyline(
+                    xs, approx=False, cost_quantum=_DTW_QUANTUM,
+                    return_costs=True,
                 )
-                total = sum(
-                    poly_k.dtw_alignment(
-                        xs[med], xs[j], cost_quantum=_DTW_QUANTUM
-                    )[0]
-                    for j in range(_MED_L)
-                    if j != med
-                )
+                total = costs[med]
                 gids.append(row["group_id"])
                 meds.append(med)
                 tots.append(int(total))

@@ -155,13 +155,26 @@ def _build_base_cells():
     return centers, is_pent, spacing, e1s, e2s
 
 
-def _tangent_frame(c: np.ndarray):
-    """Deterministic orthonormal tangent basis at unit vector c."""
-    ref = np.array([0.0, 0.0, 1.0]) if abs(c[2]) < 0.999 else np.array([1.0, 0.0, 0.0])
+def _tangent_frames_vec(c: np.ndarray):
+    """Deterministic orthonormal tangent bases at (n, 3) unit vectors —
+    the ONE frame rule (z-reference, x fallback near the poles) shared by
+    base construction and neighbor probing; a divergent copy would split
+    the Voronoi assignment from the probes."""
+    ref = np.where(
+        (np.abs(c[:, 2]) < 0.999)[:, None],
+        np.array([0.0, 0.0, 1.0]),
+        np.array([1.0, 0.0, 0.0]),
+    )
     e1 = np.cross(ref, c)
-    e1 /= np.linalg.norm(e1)
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
     e2 = np.cross(c, e1)
     return e1, e2
+
+
+def _tangent_frame(c: np.ndarray):
+    """Scalar convenience wrapper over _tangent_frames_vec."""
+    e1, e2 = _tangent_frames_vec(c[None, :])
+    return e1[0], e2[0]
 
 
 def _gnomonic(p, center, e1, e2):
@@ -360,9 +373,24 @@ def h3_to_parent(h, parent_res: int) -> np.ndarray:
     return _pack(base, parent_res, digits)
 
 
+def _uniform_res(h: np.ndarray, op: str) -> int:
+    """This layout's batch ops require one resolution per call (unlike the
+    face20 variant's per-element handling) — reject mixed input loudly
+    instead of silently using the first element's res for the batch."""
+    res = get_resolution(h)
+    if len(res) == 0:
+        return 0
+    r0 = int(res[0])
+    if not np.all(res == r0):
+        raise ValueError(f"{op}: mixed-resolution batch not supported")
+    return r0
+
+
 def h3_to_center_child(h, child_res: int) -> np.ndarray:
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
-    res = int(get_resolution(h)[0]) if len(h) else 0
+    res = _uniform_res(h, "h3_to_center_child")
+    if child_res < res:
+        raise ValueError(f"child_res {child_res} < cell resolution {res}")
     base = get_base(h)
     digits = [get_digit(h, r) for r in range(res)]
     digits += [np.zeros(len(h), dtype=np.int64)] * (child_res - res)
@@ -397,7 +425,7 @@ def k_ring(h, k: int) -> np.ndarray:
     rings contain no duplicates by construction. Returns the sorted
     unique union over the input cells."""
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
-    res = int(get_resolution(h)[0]) if len(h) else 0
+    res = _uniform_res(h, "k_ring")
     frontier = set(int(v) for v in h.tolist())
     seen = set(frontier)
     for _ in range(k):
@@ -434,14 +462,7 @@ def _neighbors(h: np.ndarray, res: int) -> np.ndarray:
         probes.append(
             _to_sphere(base, xy + np.array([s * np.cos(th), s * np.sin(th)]))
         )
-    ref = np.where(
-        (np.abs(c[:, 2]) < 0.999)[:, None],
-        np.array([0.0, 0.0, 1.0]),
-        np.array([1.0, 0.0, 0.0]),
-    )
-    t1 = np.cross(ref, c)
-    t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
-    t2 = np.cross(c, t1)
+    t1, t2 = _tangent_frames_vec(c)
     ang = _BASE_SPACING / _SQRT7**res  # angular spacing
     for frac in _PROBE_RADII:
         for k in range(_PROBE_AZ):
@@ -470,7 +491,11 @@ def _neighbors(h: np.ndarray, res: int) -> np.ndarray:
 
 
 def _latlng_to_xyz(lat_deg, lon_deg):
-    lat = np.radians(lat_deg)
-    lon = np.radians(lon_deg)
-    cl = np.cos(lat)
-    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+    # single source of truth for the conversion (kernel/s2coords) — a
+    # divergent copy here would silently split assignment from probing
+    from . import s2coords as _sc
+
+    return _sc.latlng_degrees_to_xyz(
+        np.asarray(lat_deg, dtype=np.float64),
+        np.asarray(lon_deg, dtype=np.float64),
+    )

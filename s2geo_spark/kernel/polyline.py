@@ -283,11 +283,14 @@ def medoid_polyline(
     lines: list,
     approx: bool = True,
     cost_quantum: float | None = None,
-) -> int:
+    return_costs: bool = False,
+):
     """Index of the polyline minimizing summed alignment cost to all the
     others (GetMedoidPolyline, src/s2/s2polyline_alignment.h:83-87,
     .cc:351-368): lower-triangle pairwise costs mirrored across the
-    diagonal, lowest index on ties."""
+    diagonal, lowest index on ties. With return_costs, also returns the
+    per-line summed-cost list (so callers don't re-run the N-1
+    alignments the selection already computed)."""
     n = len(lines)
     if n == 0:
         raise ValueError("empty polyline collection")
@@ -302,7 +305,8 @@ def medoid_polyline(
                 c, _ = dtw_alignment(lines[i], lines[j], cost_quantum=cost_quantum)
             costs[i] += c
             costs[j] += c
-    return int(np.argmin(costs))  # argmin returns the FIRST minimum
+    med = int(np.argmin(costs))  # argmin returns the FIRST minimum
+    return (med, costs) if return_costs else med
 
 
 def consensus_polyline(

@@ -246,17 +246,10 @@ def polyline_medoid(
     def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(line_col)
         xs = [_verts_to_xyz(v) for v in pdf[verts_col]]
-        med = poly_k.medoid_polyline(
-            xs, approx=approx, cost_quantum=cost_quantum
+        med, costs = poly_k.medoid_polyline(
+            xs, approx=approx, cost_quantum=cost_quantum, return_costs=True
         )
-        align = (
-            poly_k.approx_dtw_alignment if approx else poly_k.dtw_alignment
-        )
-        total = sum(
-            align(xs[med], xs[j], cost_quantum=cost_quantum)[0]
-            for j in range(len(xs))
-            if j != med
-        )
+        total = costs[med]
         return pd.DataFrame(
             {
                 group_col: [key[0]],

@@ -217,7 +217,10 @@ class _BitReader:
             self.pos += 2
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed bits out: only the low `nbits` bits are live, and
+        # an unmasked accumulator grows into a scan-sized bigint that makes
+        # every read O(scan) (decode O(N^2) on real photos)
+        self.acc = ((self.acc << 8) | b) & 0xFFFF
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -429,18 +432,15 @@ def encode_jpeg(
     else:
         y, cb, cr = _rgb_to_ycbcr(px)
         if subsampling == "420":
+            # pad chroma to even dims before the 2x2 mean (luma is padded
+            # to the MCU grid with the same edge mode further down)
             eh, ew = -h % 2, -w % 2
             if eh or ew:
-                y2 = np.pad(y, ((0, eh), (0, ew)), mode="edge")
                 cb = np.pad(cb, ((0, eh), (0, ew)), mode="edge")
                 cr = np.pad(cr, ((0, eh), (0, ew)), mode="edge")
-            else:
-                y2 = y
             cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
             cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
-            planes = [y, cb, cr]
-        else:
-            planes = [y, cb, cr]
+        planes = [y, cb, cr]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -166,14 +166,17 @@ def contains_join(
         pts = points.withColumn("cell", sf.s2_cell_id(lat, lon)).filter(
             F.col("cell") != 0
         )
-    terms = point_terms(pts, levels=covering_levels(covering))
+    # one pass over the covering: distinct levels AND the row count the
+    # broadcast gate needs (covering_levels alone would run the same job
+    # without the count — no extra job vs the ungated code)
+    stats = covering.agg(
+        F.collect_set(sf.s2_level_expr("cell")).alias("lvls"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    terms = point_terms(pts, levels=sorted(int(v) for v in stats["lvls"]))
     cov = covering.withColumnRenamed("cell", "cov_cell")
-    if broadcast_covering is None:
-        # (polygon_id, cell, is_interior) ~ 40B/row incl. row overhead
-        cov_est = covering.count() * 40
-    else:
-        cov_est = 0
-    cov = _gate_broadcast(cov, cov_est, broadcast_covering)
+    # (polygon_id, cell, is_interior) ~ 40B/row incl. row overhead
+    cov = _gate_broadcast(cov, int(stats["n"]) * 40, broadcast_covering)
     cand = terms.join(cov, terms["term"] == cov["cov_cell"], "inner").drop(
         "term", "cov_cell"
     )
