@@ -13,6 +13,13 @@ progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision, and
 hierarchical modes raise NotImplementedError — this decodes the baseline
 class, it does not fake the rest.
 
+Throughput: the DCT/color stages are vectorized NumPy, but Huffman
+entropy coding is a per-symbol Python loop (~0.7 s to decode a 1 MP
+photo) — adequate for the thumbnail-scale payloads a CC-style corpus
+row carries and for the oracle fixtures; a production hot path for
+full-size photos would swap this stage for a native codec behind the
+same decode_media dispatch.
+
 The reference repo has no media code at all; this is built from the
 public spec. Decoding is exercised bit-exactly by tests
 (tests/test_jpeg.py) against an independent reference reconstruction of

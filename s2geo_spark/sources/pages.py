@@ -153,6 +153,20 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None)
     )
 
 
+def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract the text payload from the ``html`` binary column — the
+    input_hint's per-row invariant: the extracted text must be
+    BYTE-IDENTICAL per url to the carried ``text`` column (the stand-in
+    for "matches the reference extractor"; tests assert equality across
+    partitionings). Pure JVM ops: utf-8 decode + substring between the
+    body tags — no Python in the path."""
+    decoded = F.decode(F.col(html_col), "utf-8")
+    txt = F.substring_index(
+        F.substring_index(decoded, "</body>", 1), "<body>", -1
+    )
+    return pages.withColumn("extracted_text", txt)
+
+
 def extract_geo(pages: DataFrame) -> DataFrame:
     """Parse the ``geo:LAT,LON`` token back out of ``text``.
 

@@ -110,6 +110,27 @@ class TestPagesSource:
         row = df.filter(F.col("lat").isNotNull()).first()
         assert abs(row["lat"]) <= 90 and abs(row["lon"]) <= 180
 
+    def test_extract_text_byte_identical(self, spark):
+        """The input_hint invariant: text extracted FROM the html binary
+        is byte-identical per url to the carried text column, at every
+        partitioning (r4 — extraction is now a real operator, not just a
+        carried column)."""
+        for parts in (1, 4, 9):
+            df = pages_src.extract_text(
+                pages_src.synth_pages(spark, 3000, partitions=parts)
+            )
+            mism = df.filter(
+                F.col("extracted_text") != F.col("text")
+            ).count()
+            assert mism == 0
+        # aggregate fingerprint equality (order-insensitive, JVM-side;
+        # bit_xor — an ANSI-mode sum of hashes overflows long)
+        agg = df.agg(
+            F.expr("bit_xor(xxhash64(url, extracted_text))").alias("a"),
+            F.expr("bit_xor(xxhash64(url, text))").alias("b"),
+        ).first()
+        assert agg["a"] == agg["b"]
+
     def test_html_wraps_text(self, spark):
         df = pages_src.synth_pages(spark, 50)
         row = df.first()
