@@ -135,3 +135,53 @@ def test_resize_nn_property(h, w, th, tw):
     for y in range(th):
         for x in range(tw):
             assert (out[y, x] == px[(y * h) // th, (x * w) // tw]).all()
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    quality=st.integers(min_value=20, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_gray_bit_exact_property(h, w, quality, seed):
+    """Decoded grayscale JPEG == the independent quantize-dequantize-IDCT
+    reference reconstruction, bit for bit, for arbitrary dims/quality —
+    pins the whole Huffman/zigzag/DC-prediction/byte-stuffing chain."""
+    from s2geo_spark.operators import jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality))[:, :, 0]
+
+    ql = jpeg.scaled_quant_table(jpeg.QUANT_LUMA, quality)
+    plane = np.pad(
+        px.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    zz, by, bx = jpeg._quantize_plane(plane, ql)
+    raster = np.zeros_like(zz)
+    raster[:, jpeg.ZIGZAG] = zz
+    sp = jpeg.idct2d((raster * ql).reshape(-1, 8, 8).astype(np.float64)) + 128
+    ref = np.clip(np.floor(sp + 0.5), 0, 255)
+    ref = ref.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    assert np.array_equal(out, ref[:h, :w].astype(np.uint8))
+
+
+@given(
+    bh=st.integers(min_value=1, max_value=3),
+    bw=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_lossless_property(bh, bw, seed):
+    """At quality 75 the scaled luminance DC quantizer is exactly 8, so
+    8x8-block-constant images survive losslessly — the invariant the
+    media_decode SQL oracle is built on."""
+    from s2geo_spark.operators import jpeg
+
+    rng = np.random.default_rng(seed)
+    px = np.repeat(
+        np.repeat(rng.integers(0, 256, (bh, bw)).astype(np.uint8), 8, 0), 8, 1
+    )
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75))
+    assert np.array_equal(out[:, :, 0], px)
