@@ -119,8 +119,9 @@ def s2_cell_id_at(lat, lon, level: int) -> Column:
     return s2_parent(s2_cell_id(lat, lon), level)
 
 
-def h3_cell(lat, lon, res: int) -> Column:
-    """(lat, lon) -> H3-style aperture-7 hex index at `res` (kernel/h3.py)."""
+def h3_cell(lat, lon, res: int, layout: str = "face20") -> Column:
+    """(lat, lon) -> H3-style aperture-7 hex index at `res` (kernel/h3.py).
+    layout="h3" opts into the 122-base-cell Dymaxion structure."""
     from s2geo_spark.kernel import h3 as _h3
 
     @F.pandas_udf(LongType())
@@ -130,6 +131,7 @@ def h3_cell(lat, lon, res: int) -> Column:
             la.to_numpy(dtype=np.float64, na_value=0.0),
             lo.to_numpy(dtype=np.float64, na_value=0.0),
             res,
+            layout=layout,
         )
         if mask.any():
             out = np.where(mask.to_numpy(), np.uint64(0), out)
@@ -138,25 +140,42 @@ def h3_cell(lat, lon, res: int) -> Column:
     return _enc(_col(lat), _col(lon))
 
 
-def h3_parent(cell, parent_res: int) -> Column:
+def h3_parent(cell, parent_res: int, layout: str = "face20") -> Column:
     """Hex index -> ancestor at parent_res (digit-path truncation)."""
     from s2geo_spark.kernel import h3 as _h3
 
     @F.pandas_udf(LongType())
     def _par(c: pd.Series) -> pd.Series:
-        return _i64(_h3.h3_to_parent(_u64(c), parent_res))
+        return _i64(
+            np.asarray(
+                _h3.h3_to_parent(_u64(c), parent_res, layout=layout)
+            ).view(np.uint64)
+            if layout == "h3"
+            else _h3.h3_to_parent(_u64(c), parent_res)
+        )
 
     return _par(_col(cell))
 
 
-def h3_kring(cell, k: int) -> Column:
-    """Hex index -> array of all cells within grid distance k."""
+def h3_kring(cell, k: int, layout: str = "face20") -> Column:
+    """Hex index -> array of all cells within grid distance k. With
+    layout="h3" rings are variable-length (seamless BFS, pentagons have
+    5 ring-1 neighbors) and computed per row."""
     from pyspark.sql.types import ArrayType
 
     from s2geo_spark.kernel import h3 as _h3
 
     @F.pandas_udf(ArrayType(LongType()))
     def _ring(c: pd.Series) -> pd.Series:
+        if layout == "h3":
+            from s2geo_spark.kernel import h3_dymaxion as _hd
+
+            return pd.Series(
+                [
+                    _hd.k_ring(np.array([v], dtype=np.int64), k).tolist()
+                    for v in c.to_numpy(dtype=np.int64)
+                ]
+            )
         rings = _h3.k_ring(_u64(c), k).view(np.int64)
         return pd.Series(list(rings))
 

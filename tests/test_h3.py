@@ -304,3 +304,31 @@ class TestDymaxionLayout:
         assert np.array_equal(h3.geo_to_h3(la, lo, 6, layout="h3"), opt)
         ring = h3.k_ring(opt[:1], 1, layout="h3")
         assert len(ring) == len(set(ring.tolist()))
+
+    def test_dataframe_functions_layout(self, spark):
+        import pandas as pd
+
+        from s2geo_spark import functions as sf
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lat": [47.3769, -33.86], "lon": [8.5417, 151.21]})
+        )
+        out = df.select(
+            sf.h3_cell("lat", "lon", 5).alias("dflt"),
+            sf.h3_cell("lat", "lon", 5, layout="h3").alias("dym"),
+        ).toPandas()
+        assert (out["dflt"] != out["dym"]).all()
+        assert hd.is_valid(out["dym"].to_numpy()).all()
+        # parent + ring through the DataFrame API
+        out2 = df.select(
+            sf.h3_parent(
+                sf.h3_cell("lat", "lon", 5, layout="h3"), 2, layout="h3"
+            ).alias("p"),
+            sf.h3_kring(
+                sf.h3_cell("lat", "lon", 3, layout="h3"), 1, layout="h3"
+            ).alias("ring"),
+        ).toPandas()
+        assert (hd.get_resolution(out2["p"].to_numpy()) == 2).all()
+        for ring in out2["ring"]:
+            assert len(ring) == len(set(ring)) and len(ring) >= 5
