@@ -302,19 +302,25 @@ def geo_to_h3(lat_deg, lon_deg, res: int) -> np.ndarray:
     dots0 = xyz @ _BASE_CENTERS.T  # (n, 122)
     m = min(_BEAM, NUM_BASE_CELLS)
     top = np.argpartition(-dots0, m - 1, axis=1)[:, :m]  # (n, m)
-    base = top.astype(np.int64)  # (n, m) beam base ids
     xy = np.zeros((n, m, 2))  # beam gnomonic coords in the base frame
     pent = _BASE_IS_PENT[top]  # (n, m)
     prefix = top.astype(np.int64)  # packed (base, digits...) in base 8
+    # gather each beam slot's base frame ONCE — the base never changes
+    # below res 0, so per-level 122-table gathers are pure overhead
+    f0 = _BASE_CENTERS[top]  # (n, m, 3)
+    f1 = _BASE_E1[top]
+    f2 = _BASE_E2[top]
     rows = np.arange(n)[:, None]
+    centers = f0
     for r in range(res):
         off = _OFFSETS[r]  # (7, 2)
-        cxy = xy[:, :, None, :] + off[None, None, :, :]  # (n, m, 7, 2)
-        cxy = cxy.reshape(n, m * 7, 2)
-        cbase = np.repeat(base, 7, axis=1)
-        cand = _to_sphere(cbase.ravel(), cxy.reshape(-1, 2)).reshape(
-            n, m * 7, 3
-        )
+        cxy = (xy[:, :, None, :] + off[None, None, :, :]).reshape(n, m * 7, 2)
+        cand = (
+            f0[:, :, None, :]
+            + cxy.reshape(n, m, 7, 2)[..., 0:1] * f1[:, :, None, :]
+            + cxy.reshape(n, m, 7, 2)[..., 1:2] * f2[:, :, None, :]
+        ).reshape(n, m * 7, 3)
+        cand /= np.linalg.norm(cand, axis=-1, keepdims=True)
         dots = np.einsum("nkd,nd->nk", cand, xyz)
         # pentagon lineage deletes digit 1 (the spec's k-axis subsequence)
         del_mask = np.repeat(pent, 7, axis=1) & (
@@ -325,10 +331,12 @@ def geo_to_h3(lat_deg, lon_deg, res: int) -> np.ndarray:
         parent_idx = sel // 7
         digit = sel % 7
         xy = cxy[rows, sel]
-        base = base[rows, parent_idx]
+        f0 = f0[rows, parent_idx]
+        f1 = f1[rows, parent_idx]
+        f2 = f2[rows, parent_idx]
         pent = pent[rows, parent_idx] & (digit == 0)
         prefix = prefix[rows, parent_idx] * 8 + digit
-    centers = _to_sphere(base.ravel(), xy.reshape(-1, 2)).reshape(n, m, 3)
+        centers = cand[rows, sel]
     dots = np.einsum("nkd,nd->nk", centers, xyz)
     best = np.argmax(dots, axis=1)
     win = prefix[np.arange(n), best]
