@@ -646,3 +646,71 @@ def _pack_from_ijk(face, res, i, j, k):
     """(face, res, ijk) -> index via digit extraction (shared with encode)."""
     ids, _valid = _pack_from_ijk_checked(face, res, i, j, k)
     return ids
+
+
+def polyfill(vertices: np.ndarray, res: int, layout: str = "face20") -> np.ndarray:
+    """Cells at `res` whose CENTERS lie inside the loop — the upstream
+    library's polyfill/polygonToCells semantics (center containment, not
+    intersection). Works on either layout.
+
+    BFS flood fill: seed at the loop centroid's cell, expand over ring-1
+    neighbors, keep cells whose center passes the exact crossing-parity
+    PIP (kernel/loops.PreparedLoop — the same predicate the S2 joins
+    use); frontier cells that fail are still expanded once so concave
+    pockets reachable only through outside-center cells are not cut off
+    prematurely, but only center-inside cells are emitted. The loop must
+    be smaller than a hemisphere (the PreparedLoop precondition).
+    """
+    from . import loops as _loops
+
+    v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    lp = _loops.PreparedLoop(v)
+
+    def _inside(ids: np.ndarray) -> np.ndarray:
+        lat, lon = h3_to_geo(ids, layout=layout)
+        xyz = _latlng_to_xyz(np.atleast_1d(lat), np.atleast_1d(lon))
+        return lp.contains_points(np.asarray(xyz).reshape(-1, 3))
+
+    c = v.mean(axis=0)
+    c /= np.linalg.norm(c)
+    seed_lat = np.degrees(np.arcsin(np.clip(c[2], -1, 1)))
+    seed_lon = np.degrees(np.arctan2(c[1], c[0]))
+    seed = geo_to_h3(np.array([seed_lat]), np.array([seed_lon]), res,
+                     layout=layout)
+    if layout == "h3":
+        seed = np.asarray(seed).view(np.int64)
+
+    seen: set[int] = set(int(x) for x in np.asarray(seed).ravel().tolist())
+    inside_ids: set[int] = set()
+    frontier = list(seen)
+    # cells reached through an outside-center cell may expand ONE extra
+    # hop (vertex-wide necks); tracked per cell
+    slack = {h: 1 for h in frontier}
+    while frontier:
+        arr = np.array(frontier, dtype=np.int64 if layout == "h3" else np.uint64)
+        ins = _inside(arr)
+        nxt: list[int] = []
+        for h, ok in zip(frontier, ins.tolist()):
+            if ok:
+                inside_ids.add(h)
+            budget = 1 if ok else slack[h] - 1
+            if budget < 0:
+                continue
+            ring = k_ring(
+                np.array([h], dtype=np.int64 if layout == "h3" else np.uint64),
+                1,
+                layout=layout,
+            )
+            for nb in np.asarray(ring).ravel().tolist():
+                nb = int(nb)
+                if nb not in seen:
+                    seen.add(nb)
+                    slack[nb] = budget
+                    nxt.append(nb)
+                elif budget > slack.get(nb, 0) and nb not in inside_ids:
+                    # found a better-budget path; allow re-expansion
+                    slack[nb] = budget
+                    nxt.append(nb)
+        frontier = nxt
+    out = np.array(sorted(inside_ids), dtype=np.int64)
+    return out.view(np.uint64) if layout == "face20" else out

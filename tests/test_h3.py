@@ -332,3 +332,47 @@ class TestDymaxionLayout:
         assert (hd.get_resolution(out2["p"].to_numpy()) == 2).all()
         for ring in out2["ring"]:
             assert len(ring) == len(set(ring)) and len(ring) >= 5
+
+
+class TestPolyfill:
+    """polyfill/polygonToCells center-containment semantics (r4), both
+    layouts: every emitted center inside, no inside-center cell missed."""
+
+    def _loop(self):
+        from s2geo_spark.kernel import loops
+
+        return loops.make_regular_loop(47.37, 8.54, 1.5, 48)
+
+    @pytest.mark.parametrize("layout", ["face20", "h3"])
+    def test_centers_inside_and_complete(self, layout):
+        from s2geo_spark.kernel import loops
+        from s2geo_spark.kernel import s2coords as sc
+
+        verts = self._loop()
+        lp = loops.PreparedLoop(verts)
+        cells = h3.polyfill(verts, 5, layout=layout)
+        assert len(cells) > 5
+        la, lo = h3.h3_to_geo(cells, layout=layout)
+        x, y, z = sc.latlng_degrees_to_xyz(np.atleast_1d(la), np.atleast_1d(lo))
+        ins = lp.contains_points(np.stack([x, y, z], axis=1))
+        assert bool(ins.all())  # center containment, exactly
+        # completeness: any cell CONTAINING an inside point whose CENTER
+        # is also inside must be emitted
+        rng = np.random.default_rng(3)
+        plat = 47.37 + rng.uniform(-1.05, 1.05, 3000)
+        plon = 8.54 + rng.uniform(-1.55, 1.55, 3000)
+        xx, yy, zz = sc.latlng_degrees_to_xyz(plat, plon)
+        pin = lp.contains_points(np.stack([xx, yy, zz], axis=1))
+        ids = h3.geo_to_h3(plat[pin], plon[pin], 5, layout=layout)
+        ids = np.unique(np.asarray(ids).view(np.int64))
+        cla, clo = h3.h3_to_geo(
+            ids.view(np.uint64) if layout == "face20" else ids, layout=layout
+        )
+        cx, cy, cz = sc.latlng_degrees_to_xyz(
+            np.atleast_1d(cla), np.atleast_1d(clo)
+        )
+        cin = lp.contains_points(np.stack([cx, cy, cz], axis=1))
+        emitted = set(np.asarray(cells).view(np.int64).ravel().tolist())
+        for cid, ok in zip(ids.tolist(), cin.tolist()):
+            if ok:
+                assert cid in emitted
