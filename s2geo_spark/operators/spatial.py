@@ -685,3 +685,38 @@ def cap_contains_join(
         cand.filter(chord2 <= F.col("len2"))
         .drop("term", "cell", "cx", "cy", "cz", "len2", "px", "py", "pz")
     )
+
+
+def h3_polyfill_cells(
+    polys: DataFrame, res: int, layout: str = "face20"
+) -> DataFrame:
+    """(polygon_id, loops) -> one row per (polygon_id, h3_cell): the
+    upstream polygonToCells contract (cells whose CENTERS are inside),
+    kernel/h3.polyfill per polygon via applyInPandas — each polygon's BFS
+    flood fill runs in one task, polygons spread across executors. Uses
+    the polygon's outer loop (loops[0]); layout="h3" emits Dymaxion ids.
+    """
+    out_schema = "polygon_id long, h3_cell long"
+
+    def per_poly(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2geo_spark.kernel import h3 as _h3
+
+        frames = []
+        for _, row in pdf.iterrows():
+            verts = np.asarray(row["loops"][0], dtype=np.float64).reshape(-1, 3)
+            cells = np.asarray(_h3.polyfill(verts, res, layout=layout))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "polygon_id": row["polygon_id"],
+                        "h3_cell": cells.view(np.int64),
+                    }
+                )
+            )
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=["polygon_id", "h3_cell"])
+        )
+
+    return polys.groupBy("polygon_id").applyInPandas(per_poly, out_schema)

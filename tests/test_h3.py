@@ -376,3 +376,19 @@ class TestPolyfill:
         for cid, ok in zip(ids.tolist(), cin.tolist()):
             if ok:
                 assert cid in emitted
+
+    def test_polyfill_operator(self, spark):
+        from s2geo_spark.kernel import loops
+        from s2geo_spark.operators import spatial
+
+        polys = {
+            1: loops.make_regular_loop(47.37, 8.54, 1.5, 48),
+            2: loops.make_regular_loop(-33.9, 151.2, 1.0, 32),
+        }
+        df = spatial.polygons_to_df(spark, polys)
+        out = spatial.h3_polyfill_cells(df, 5).toPandas()
+        assert set(out["polygon_id"]) == {1, 2}
+        k1 = set(
+            np.asarray(h3.polyfill(polys[1], 5)).view(np.int64).tolist()
+        )
+        assert set(out[out.polygon_id == 1]["h3_cell"]) == k1
