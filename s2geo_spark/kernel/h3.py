@@ -648,7 +648,9 @@ def _pack_from_ijk(face, res, i, j, k):
     return ids
 
 
-def polyfill(vertices: np.ndarray, res: int, layout: str = "face20") -> np.ndarray:
+def polyfill(
+    vertices: np.ndarray, res: int, layout: str = "face20", slack: int = 1
+) -> np.ndarray:
     """Cells at `res` whose CENTERS lie inside the loop — the upstream
     library's polyfill/polygonToCells semantics (center containment, not
     intersection). Works on either layout.
@@ -656,10 +658,13 @@ def polyfill(vertices: np.ndarray, res: int, layout: str = "face20") -> np.ndarr
     BFS flood fill: seed at the loop centroid's cell, expand over ring-1
     neighbors, keep cells whose center passes the exact crossing-parity
     PIP (kernel/loops.PreparedLoop — the same predicate the S2 joins
-    use); frontier cells that fail are still expanded once so concave
-    pockets reachable only through outside-center cells are not cut off
-    prematurely, but only center-inside cells are emitted. The loop must
-    be smaller than a hemisphere (the PreparedLoop precondition).
+    use); frontier cells that fail are still expanded `slack` hops so
+    concave pockets reachable only through outside-center cells are not
+    cut off prematurely, but only center-inside cells are emitted. Raise
+    `slack` for polygons with necks thinner than `slack` cells at this
+    resolution (the tradeoff vs the upstream bbox-enumeration approach:
+    the BFS never visits the bounding box's empty majority). The loop
+    must be smaller than a hemisphere (the PreparedLoop precondition).
     """
     from . import loops as _loops
 
@@ -683,9 +688,9 @@ def polyfill(vertices: np.ndarray, res: int, layout: str = "face20") -> np.ndarr
     seen: set[int] = set(int(x) for x in np.asarray(seed).ravel().tolist())
     inside_ids: set[int] = set()
     frontier = list(seen)
-    # cells reached through an outside-center cell may expand ONE extra
-    # hop (vertex-wide necks); tracked per cell
-    slack = {h: 1 for h in frontier}
+    # cells reached through an outside-center cell may expand `slack`
+    # extra hops (thin necks); remaining budget tracked per cell
+    budgets = {h: slack for h in frontier}
     while frontier:
         arr = np.array(frontier, dtype=np.int64 if layout == "h3" else np.uint64)
         ins = _inside(arr)
@@ -693,7 +698,7 @@ def polyfill(vertices: np.ndarray, res: int, layout: str = "face20") -> np.ndarr
         for h, ok in zip(frontier, ins.tolist()):
             if ok:
                 inside_ids.add(h)
-            budget = 1 if ok else slack[h] - 1
+            budget = slack if ok else budgets[h] - 1
             if budget < 0:
                 continue
             ring = k_ring(
@@ -705,11 +710,11 @@ def polyfill(vertices: np.ndarray, res: int, layout: str = "face20") -> np.ndarr
                 nb = int(nb)
                 if nb not in seen:
                     seen.add(nb)
-                    slack[nb] = budget
+                    budgets[nb] = budget
                     nxt.append(nb)
-                elif budget > slack.get(nb, 0) and nb not in inside_ids:
+                elif budget > budgets.get(nb, 0) and nb not in inside_ids:
                     # found a better-budget path; allow re-expansion
-                    slack[nb] = budget
+                    budgets[nb] = budget
                     nxt.append(nb)
         frontier = nxt
     out = np.array(sorted(inside_ids), dtype=np.int64)
