@@ -3417,6 +3417,39 @@ def q_media_decode(spark, sf_dir):
                      int((jdec["pixels"][:, :, 0].astype(np.int64)
                           * (1 + jx + 2 * jy)).sum()))
                 )
+                # COLOR JPEG (4:4:4, two 8x8 block-constant RGB columns):
+                # exercises the chroma quant table, the interleaved
+                # Y/Cb/Cr MCU order with per-component DC chains, and the
+                # YCbCr->RGB rounding — all predictable in closed form
+                # (see the boundary-margin note below)
+                cjw, cjh = 16, 8
+                cy, cx = np.meshgrid(
+                    np.arange(cjh), np.arange(cjw), indexing="ij"
+                )
+                blk = cx // 8
+                # constants chosen so no (n, block) lands on a floor
+                # boundary anywhere in the quantize/reconstruct chain
+                # (chroma DCq == 4 mod 8 reconstructs to an EXACT .0
+                # where the decoder's 1e-13 IDCT error would decide the
+                # pixel; min margin across keys with these: 7e-3)
+                cpx = np.stack(
+                    [
+                        (n * 34 + blk * 53 + 212) % 225 + 16,
+                        (n * 31 + blk * 59 + 4) % 225 + 16,
+                        (n * 50 + blk * 61 + 203) % 225 + 16,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                cdec = mm.decode_media(
+                    jpeg_ops.encode_jpeg(cpx, quality=75, subsampling="444")
+                )
+                cwgt = (1 + cx + 2 * cy)[..., None] * (
+                    1 + 3 * np.arange(3)
+                )
+                rows.append(
+                    (n, "jpegc", cdec["width"], cdec["height"],
+                     int((cdec["pixels"].astype(np.int64) * cwgt).sum()))
+                )
                 nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
                 t, y, x = np.meshgrid(
                     np.arange(nf), np.arange(vh), np.arange(vw), indexing="ij"
@@ -3516,12 +3549,67 @@ jpg AS (
           WHERE x.v < 8 * (1 + n0.n % 3)
             AND y.v < 8 * (1 + n0.n % 2)) AS wsum
   FROM n0
+),
+jpc_blk AS (
+  -- color JPEG fixture: per (nation, block) constant RGB
+  SELECT n0.n AS n, bb.v AS b,
+         CAST((n0.n*34 + bb.v*53 + 212) % 225 + 16 AS DOUBLE) AS r,
+         CAST((n0.n*31 + bb.v*59 + 4) % 225 + 16 AS DOUBLE) AS g,
+         CAST((n0.n*50 + bb.v*61 + 203) % 225 + 16 AS DOUBLE) AS bl
+  FROM n0, generate_series(0, 1) bb(v)
+),
+jpc_ycc AS (
+  -- the encoder's JFIF RGB->YCbCr, same literal constants and op order
+  SELECT n, b,
+         0.299*r + 0.587*g + 0.114*bl AS y0,
+         128.0 - 0.168735892*r - 0.331264108*g + 0.5*bl AS cb0,
+         128.0 + 0.5*r - 0.418687589*g - 0.081312411*bl AS cr0
+  FROM jpc_blk
+),
+jpc_rec AS (
+  -- constant 8x8 block: only the DC survives; quality-75 quantizers are
+  -- 8 (luma) / 9 (chroma). quantize(floor(|8(p-128)|/q + .5)*sign) ->
+  -- dequantize*q -> IDCT(/8) -> +128 -> round half up -> clip, per plane
+  SELECT n, b,
+    LEAST(255, GREATEST(0, FLOOR(
+      (CASE WHEN y0 >= 128 THEN FLOOR(ABS(8*(y0-128))/8 + 0.5)
+            ELSE -FLOOR(ABS(8*(y0-128))/8 + 0.5) END) * 8 / 8.0
+      + 128 + 0.5))) AS ry,
+    LEAST(255, GREATEST(0, FLOOR(
+      (CASE WHEN cb0 >= 128 THEN FLOOR(ABS(8*(cb0-128))/9 + 0.5)
+            ELSE -FLOOR(ABS(8*(cb0-128))/9 + 0.5) END) * 9 / 8.0
+      + 128 + 0.5))) AS rcb,
+    LEAST(255, GREATEST(0, FLOOR(
+      (CASE WHEN cr0 >= 128 THEN FLOOR(ABS(8*(cr0-128))/9 + 0.5)
+            ELSE -FLOOR(ABS(8*(cr0-128))/9 + 0.5) END) * 9 / 8.0
+      + 128 + 0.5))) AS rcr
+  FROM jpc_ycc
+),
+jpc_rgb AS (
+  -- the decoder's YCbCr->RGB with round-half-up + clip
+  SELECT n, b,
+    LEAST(255, GREATEST(0, FLOOR(ry + 1.402*(rcr - 128.0) + 0.5))) AS rp,
+    LEAST(255, GREATEST(0, FLOOR(
+      ry - 0.344136286*(rcb - 128.0) - 0.714136286*(rcr - 128.0) + 0.5
+    ))) AS gp,
+    LEAST(255, GREATEST(0, FLOOR(ry + 1.772*(rcb - 128.0) + 0.5))) AS bp
+  FROM jpc_rec
+),
+jpc AS (
+  SELECT jr.n AS media_id, 'jpegc' AS kind,
+         CAST(16 AS BIGINT) AS dim1, CAST(8 AS BIGINT) AS dim2,
+         SUM((1 + x.v + 2*y.v) * (jr.rp + 4*jr.gp + 7*jr.bp)) AS wsum
+  FROM jpc_rgb jr
+  JOIN generate_series(0, 15) x(v) ON (x.v // 8) = jr.b
+  CROSS JOIN generate_series(0, 7) y(v)
+  GROUP BY jr.n
 )
 SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
        CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
-      UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg) u
+      UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg
+      UNION ALL SELECT * FROM jpc) u
 """
 
 

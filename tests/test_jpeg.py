@@ -137,3 +137,75 @@ class TestDispatchAndPlumbing:
         resized = mm.decode_media(bytes(out.iloc[0]["resized"]))
         assert resized["kind"] == "jpeg"
         assert (resized["width"], resized["height"]) == (8, 8)
+
+
+class TestOracleFixtureMargins:
+    """The media_decode color-JPEG oracle is closed-form ONLY when no
+    quantize/reconstruct site lands on a floor boundary (where the
+    decoder's ~1e-13 IDCT float error would decide the pixel). Pin the
+    fixture constants' safety for every nation key the driver uses."""
+
+    def test_color_fixture_boundary_margins(self):
+        import math
+
+        for n in range(25):
+            for b in (0, 1):
+                R = (n * 34 + b * 53 + 212) % 225 + 16
+                G = (n * 31 + b * 59 + 4) % 225 + 16
+                B = (n * 50 + b * 61 + 203) % 225 + 16
+                y0 = 0.299 * R + 0.587 * G + 0.114 * B
+                cb0 = 128.0 - 0.168735892 * R - 0.331264108 * G + 0.5 * B
+                cr0 = 128.0 + 0.5 * R - 0.418687589 * G - 0.081312411 * B
+                for p, q in ((y0, 8), (cb0, 9), (cr0, 9)):
+                    x = abs(8 * (p - 128)) / q + 0.5
+                    assert abs(x - round(x)) > 1e-6, (n, b, p, q)
+                    dq = math.floor(abs(8 * (p - 128)) / q + 0.5) * (
+                        1 if p >= 128 else -1
+                    )
+                    if q == 9:
+                        # chroma DCq == 4 (mod 8) reconstructs to an
+                        # exact integer boundary — must never occur
+                        assert dq % 8 != 4, (n, b)
+
+    def test_color_fixture_matches_decoder(self):
+        """Closed-form pixel prediction == the real decoder, per key."""
+        import math
+
+        from s2geo_spark.operators import jpeg
+        from s2geo_spark.operators import multimodal as mm
+
+        def rec(p, q):
+            dq = math.floor(abs(8 * (p - 128)) / q + 0.5) * (
+                1 if p >= 128 else -1
+            )
+            return min(255, max(0, math.floor(dq * q / 8.0 + 128 + 0.5)))
+
+        for n in range(25):
+            cy, cx = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+            blk = cx // 8
+            cpx = np.stack(
+                [
+                    (n * 34 + blk * 53 + 212) % 225 + 16,
+                    (n * 31 + blk * 59 + 4) % 225 + 16,
+                    (n * 50 + blk * 61 + 203) % 225 + 16,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            dec = mm.decode_media(
+                jpeg.encode_jpeg(cpx, quality=75, subsampling="444")
+            )["pixels"]
+            for b in (0, 1):
+                R, G, B = (int(cpx[0, 8 * b, c]) for c in range(3))
+                y0 = 0.299 * R + 0.587 * G + 0.114 * B
+                cb0 = 128.0 - 0.168735892 * R - 0.331264108 * G + 0.5 * B
+                cr0 = 128.0 + 0.5 * R - 0.418687589 * G - 0.081312411 * B
+                ry, rcb, rcr = rec(y0, 8), rec(cb0, 9), rec(cr0, 9)
+                want = (
+                    min(255, max(0, math.floor(ry + 1.402 * (rcr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(
+                        ry - 0.344136286 * (rcb - 128.0)
+                        - 0.714136286 * (rcr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(ry + 1.772 * (rcb - 128.0) + 0.5))),
+                )
+                assert tuple(int(v) for v in dec[0, 8 * b]) == want, (n, b)
+                assert np.all(dec[:, 8 * b : 8 * b + 8] == np.array(want)), (n, b)
