@@ -1,17 +1,20 @@
-"""Baseline JPEG (JFIF) codec — numpy + the stdlib only.
+"""JPEG (JFIF) codec — numpy + the stdlib only.
 
-Implements ITU-T T.81 baseline sequential DCT, the majority image format
-of a real Common-Crawl-style corpus (VERDICT r3 next-#2): marker walk,
-Annex-K quantization tables with IJG quality scaling, canonical Huffman
-coding (tables read from the file's own DHT segments on decode, so any
+Implements ITU-T T.81 for the majority image format of a real
+Common-Crawl-style corpus (VERDICT r3 next-#2): marker walk, Annex-K
+quantization tables with IJG quality scaling, canonical Huffman coding
+(tables read from the file's own DHT segments on decode, so any
 spec-valid table works), level shift + orthonormal 8x8 DCT, zigzag,
 run-length AC coding, 0xFF byte stuffing, restart markers, grayscale /
-4:4:4 / 4:2:0 sampling, and JFIF YCbCr<->RGB.
+4:4:4 / 4:2:0 sampling, and JFIF YCbCr<->RGB. BOTH T.81 DCT modes
+decode: baseline sequential (SOF0/1) and PROGRESSIVE (SOF2 — spectral
+selection + successive approximation, EOB runs, correction-bit
+refinement per G.2); progressive is what real web photo pipelines emit.
 
 Same honesty pattern as the PNG/GIF work (operators/multimodal.py):
-progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision, and
-hierarchical modes raise NotImplementedError — this decodes the baseline
-class, it does not fake the rest.
+arithmetic coding (SOF9+), 12-bit precision, hierarchical modes, and
+progressive streams with restart intervals raise NotImplementedError —
+this decodes the two DCT classes it claims, it does not fake the rest.
 
 Throughput: the DCT/color stages are vectorized NumPy, but Huffman
 entropy coding is a per-symbol Python loop (~0.7 s to decode a 1 MP
@@ -508,6 +511,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog_zz = None  # progressive: per-component coefficient accumulators
     restart_interval = 0
     n = len(payload)
     while pos + 4 <= n:
@@ -544,7 +548,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + nv])
                 huff[(tc, th)] = _build_decoder(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -555,9 +559,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             from . import multimodal as _mm
 
             _mm._check_dims(fw, fh)
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF 0x{marker:02x} mode")
         elif marker == 0xDD:  # DRI
@@ -569,19 +572,52 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    ix
+                    for ix, c in enumerate(frame["comps"])
+                    if c["id"] == cs
+                )
                 scan.append(
                     {
-                        "comp": comp,
-                        "dc": huff[(0, tables >> 4)],
-                        "ac": huff[(1, tables & 15)],
+                        "ci": comp,
+                        "comp": frame["comps"][comp],
+                        "dc": huff.get((0, tables >> 4)),
+                        "ac": huff.get((1, tables & 15)),
                     }
                 )
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan, qtabs, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, scan, qtabs,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog_zz is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                prog_zz = [
+                    np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int64)
+                    for c in frame["comps"]
+                ]
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan, prog_zz,
+                ss, se, ahal >> 4, ahal & 15, restart_interval,
             )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and prog_zz is not None:
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        shaped = [
+            prog_zz[ci].reshape(mcuy * c["v"], mcux * c["h"], 64)
+            for ci, c in enumerate(frame["comps"])
+        ]
+        return _reconstruct(frame, frame["comps"], shaped, qtabs)
     raise ValueError("JPEG missing SOS")
 
 
@@ -615,9 +651,18 @@ def _decode_scan(data, pos, frame, scan, qtabs, restart_interval):
                         preds[ci] = _decode_block(reader, s, zz, preds[ci])
             mcu += 1
 
+    return _reconstruct(frame, [s["comp"] for s in scan], comp_zz, qtabs)
+
+
+def _reconstruct(frame, comps, comp_zz, qtabs):
+    """Shared dequantize + IDCT + upsample + color-convert tail for the
+    sequential and progressive paths (the coefficient arrays are the same
+    either way — progressive only reorders their transmission)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     planes = []
-    for ci, s in enumerate(scan):
-        c = s["comp"]
+    for ci, c in enumerate(comps):
         q = qtabs[c["tq"]]
         zz = comp_zz[ci].reshape(-1, 64)
         raster = np.zeros_like(zz)
@@ -669,3 +714,392 @@ def _decode_block(reader, s, zz, pred):
         zz[k] = _extend(reader.read_bits(sz), sz)
         k += 1
     return dc
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# (ITU-T T.81 G.1.2 encode / G.2 decode). Progressive reorders the SAME
+# quantized coefficients the sequential mode codes, so tests pin
+# decode(progressive) bit-exactly against decode(baseline) of one image.
+# ---------------------------------------------------------------------------
+
+
+def _trunc_al(v: int, al: int) -> int:
+    """AC successive-approximation point transform: v / 2^al toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+# libjpeg-style default scan scripts (component index, Ss, Se, Ah, Al)
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+    ([0], 0, 0, 1, 0),
+]
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
+    """Progressive JFIF encode (grayscale or 4:4:4 color), using the
+    standard spectral-selection + successive-approximation scan script.
+    Quantized coefficients are identical to encode_jpeg's, only the scan
+    order differs."""
+    px = np.asarray(pixels)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    if not gray and subsampling != "444":
+        raise NotImplementedError("progressive encoder: 444/gray only")
+    h, w = px.shape[:2]
+    if h <= 0 or w <= 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    ql = scaled_quant_table(QUANT_LUMA, quality)
+    qc = scaled_quant_table(QUANT_CHROMA, quality)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].tolist()))
+    if not gray:
+        out += _segment(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].tolist()))
+    comps = [(1, 1, 1, 0)] if gray else [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += _segment(0xC2, sof)  # SOF2: progressive DCT
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return _segment(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+
+    # quantized zigzag coefficients, identical to the sequential encoder
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        planes = list(_rgb_to_ycbcr(px))
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    qtabs = [ql if c[3] == 0 else qc for c in comps]
+    comp_zz = []
+    for ci, plane in enumerate(planes):
+        zz, by, bx = _quantize_plane(plane, qtabs[ci])
+        comp_zz.append(zz.reshape(by, bx, 64).reshape(-1, 64))
+
+    enc_dc = [_build_encoder(*(HUFF_DC_LUMA if c[3] == 0 else HUFF_DC_CHROMA))
+              for c in comps]
+    enc_ac = [_build_encoder(*(HUFF_AC_LUMA if c[3] == 0 else HUFF_AC_CHROMA))
+              for c in comps]
+
+    script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    for comp_idxs, ss, se, ah, al in script:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            cid, _hs, _vs, tq = comps[ci]
+            sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _segment(0xDA, sos)
+        bw = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over scan comps; all factors 1)
+            if ah == 0:
+                _enc_dc_first(bw, comp_zz, comp_idxs, al, enc_dc, mcux * mcuy)
+            else:
+                _enc_dc_refine(bw, comp_zz, comp_idxs, al, mcux * mcuy)
+        else:  # AC scan: exactly one component, non-interleaved
+            ci = comp_idxs[0]
+            if ah == 0:
+                _enc_ac_first(bw, comp_zz[ci], ss, se, al, enc_ac[ci])
+            else:
+                _enc_ac_refine(bw, comp_zz[ci], ss, se, ah, al, enc_ac[ci])
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc_first(bw, comp_zz, comp_idxs, al, enc_dc, n_units):
+    preds = {ci: 0 for ci in comp_idxs}
+    for u in range(n_units):
+        for ci in comp_idxs:
+            v = int(comp_zz[ci][u, 0]) >> al  # arithmetic shift (T.81 DC)
+            diff = v - preds[ci]
+            preds[ci] = v
+            n = _magnitude(diff)
+            code, ln = enc_dc[ci][n]
+            bw.write(code, ln)
+            if n:
+                bw.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+
+
+def _enc_dc_refine(bw, comp_zz, comp_idxs, al, n_units):
+    for u in range(n_units):
+        for ci in comp_idxs:
+            bw.write((int(comp_zz[ci][u, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw, blocks, ss, se, al, actab):
+    """AC first scan. EOB runs are always emitted as single-block EOBs
+    (run length 1, symbol 0x00): the standard Annex-K tables carry no
+    EOBn symbols with r > 0 (those appear only in custom progressive
+    tables), and per-block EOB is equally spec-legal — the decoder's
+    general EOBRUN path handles both."""
+    nb = se - ss + 1
+    for u in range(blocks.shape[0]):
+        band = [_trunc_al(int(blocks[u, ss + i]), al) for i in range(nb)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            code, ln = actab[0x00]  # EOB covering just this block
+            bw.write(code, ln)
+            continue
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = actab[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _magnitude(v)
+            code, ln = actab[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < nb - 1:
+            code, ln = actab[0x00]
+            bw.write(code, ln)
+
+
+def _enc_ac_refine(bw, blocks, ss, se, ah, al, actab):
+    """Refinement scan (G.1.2.3): newly-significant coefs are coded as
+    (run, 1) + sign; already-significant coefs contribute one correction
+    bit each, buffered and emitted after the next Huffman symbol in
+    decoder reading order."""
+    nb = se - ss + 1
+    for u in range(blocks.shape[0]):
+        t = [_trunc_al(int(blocks[u, ss + i]), al) for i in range(nb)]
+        prev = [_trunc_al(int(blocks[u, ss + i]), ah) for i in range(nb)]
+        newly = [i for i in range(nb) if t[i] != 0 and prev[i] == 0]
+        if not newly:
+            # single-block EOB (see _enc_ac_first), then this block's
+            # correction bits in position order
+            code, ln = actab[0x00]
+            bw.write(code, ln)
+            for i in range(nb):
+                if prev[i] != 0:
+                    bw.write(abs(t[i]) & 1, 1)
+            continue
+        last = newly[-1]
+        run = 0
+        corr: list[int] = []
+        for i in range(last + 1):
+            if prev[i] != 0:
+                corr.append(abs(t[i]) & 1)
+                continue
+            if t[i] == 0:
+                run += 1
+                if run == 16:
+                    code, ln = actab[0xF0]
+                    bw.write(code, ln)
+                    for b in corr:
+                        bw.write(b, 1)
+                    corr = []
+                    run = 0
+                continue
+            # newly significant: |t| == 1 at this precision by definition
+            code, ln = actab[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if t[i] > 0 else 0, 1)  # sign
+            for b in corr:
+                bw.write(b, 1)
+            corr = []
+            run = 0
+        if last < nb - 1:
+            code, ln = actab[0x00]
+            bw.write(code, ln)
+            for i in range(last + 1, nb):
+                if prev[i] != 0:
+                    bw.write(abs(t[i]) & 1, 1)
+
+
+def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
+                      restart_interval):
+    """Decode one progressive scan into the coefficient accumulators and
+    return the stream position of the next marker (T.81 G.2: DC/AC first
+    and refinement passes, EOB runs, correction bits)."""
+    if restart_interval:
+        raise NotImplementedError("progressive JPEG with restart intervals")
+    if ss == 0 and se != 0:
+        # T.81 G.1.1.1.1: a progressive DC scan must have Se == 0 (a
+        # baseline stream with its SOF marker flipped lands here)
+        raise ValueError("invalid progressive scan: Ss=0 requires Se=0")
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(data, pos)
+
+    def nc_grid(c):
+        """Non-interleaved block grid (ceil of the component's own size)."""
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        return (chh + 7) // 8, (cw + 7) // 8
+
+    try:
+        if ss == 0 and ah == 0:  # DC first
+            preds = {s["ci"]: 0 for s in scan}
+            if len(scan) > 1:  # interleaved MCU order
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for s in scan:
+                            c = s["comp"]
+                            for dy in range(c["v"]):
+                                for dx in range(c["h"]):
+                                    t = _decode_symbol(reader, s["dc"])
+                                    diff = _extend(reader.read_bits(t), t)
+                                    preds[s["ci"]] += diff
+                                    u = (my * c["v"] + dy) * (mcux * c["h"]) \
+                                        + mx * c["h"] + dx
+                                    prog_zz[s["ci"]][u, 0] = preds[s["ci"]] << al
+            else:
+                s = scan[0]
+                c = s["comp"]
+                bh, bw_ = nc_grid(c)
+                pred = 0
+                for byi in range(bh):
+                    for bxi in range(bw_):
+                        t = _decode_symbol(reader, s["dc"])
+                        pred += _extend(reader.read_bits(t), t)
+                        u = byi * (mcux * c["h"]) + bxi
+                        prog_zz[s["ci"]][u, 0] = pred << al
+        elif ss == 0:  # DC refinement: one bit per block
+            if len(scan) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for s in scan:
+                            c = s["comp"]
+                            for dy in range(c["v"]):
+                                for dx in range(c["h"]):
+                                    u = (my * c["v"] + dy) * (mcux * c["h"]) \
+                                        + mx * c["h"] + dx
+                                    if reader.read_bit():
+                                        prog_zz[s["ci"]][u, 0] |= 1 << al
+            else:
+                s = scan[0]
+                c = s["comp"]
+                bh, bw_ = nc_grid(c)
+                for byi in range(bh):
+                    for bxi in range(bw_):
+                        u = byi * (mcux * c["h"]) + bxi
+                        if reader.read_bit():
+                            prog_zz[s["ci"]][u, 0] |= 1 << al
+        else:  # AC scans: exactly one component, non-interleaved
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan with multiple components")
+            s = scan[0]
+            c = s["comp"]
+            bh, bw_ = nc_grid(c)
+            zzc = prog_zz[s["ci"]]
+            stride = mcux * c["h"]
+            eobrun = 0
+            if ah == 0:  # AC first scan
+                for byi in range(bh):
+                    for bxi in range(bw_):
+                        u = byi * stride + bxi
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _decode_symbol(reader, s["ac"])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index out of band")
+                            zzc[u, k] = _extend(reader.read_bits(sz), sz) << al
+                            k += 1
+            else:  # AC refinement (the G.2 correction-bit walk)
+                p1, m1 = 1 << al, -(1 << al)
+                for byi in range(bh):
+                    for bxi in range(bw_):
+                        u = byi * stride + bxi
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _decode_symbol(reader, s["ac"])
+                                r, sz = rs >> 4, rs & 15
+                                newval = 0
+                                if sz:
+                                    if sz != 1:
+                                        raise ValueError(
+                                            "bad refinement magnitude"
+                                        )
+                                    newval = p1 if reader.read_bit() else m1
+                                else:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.read_bits(r)
+                                        break
+                                    # ZRL: skip 16 zero-history coefs
+                                while k <= se:
+                                    v = int(zzc[u, k])
+                                    if v != 0:
+                                        if reader.read_bit() and not (
+                                            abs(v) & p1
+                                        ):
+                                            zzc[u, k] = (
+                                                v + p1 if v >= 0 else v + m1
+                                            )
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if newval and k <= se:
+                                    zzc[u, k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                v = int(zzc[u, k])
+                                if v != 0:
+                                    if reader.read_bit() and not (abs(v) & p1):
+                                        zzc[u, k] = v + p1 if v >= 0 else v + m1
+                                k += 1
+                            eobrun -= 1
+    except _MarkerHit as mh:
+        raise ValueError(f"progressive scan truncated at marker {mh.marker:02x}")
+
+    # skip any padding bits, then find the next marker
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p

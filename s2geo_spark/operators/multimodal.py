@@ -2,18 +2,18 @@
 
 Decode is REAL for every format whose decoder fits in the standard
 library: 24bpp BMP, binary P6 PPM, mono PCM16 WAV, and Y4M video are
-plain struct/numpy parsing per the public specs, and PNG (8-bit
-grey/RGB/RGBA) is decoded with stdlib zlib — chunk walk, inflate, and all
-five row filters including Paeth. extract_media_meta routes them to true
-dimensions + pixel/sample/frame-statistics features, sample_frames
-extracts real Y4M frames, resize_media really resamples. Only codecs
-whose entropy coding genuinely needs external libraries (JPEG, MP3,
-H.264) raise NotImplementedError — faking them would be dishonest —
-and unknown payloads fall back to the clearly-marked deterministic
-`_decode_stub`. Everything Spark-side — schema, Arrow batch
-shapes, mapInPandas signatures, partitioning — is real and tested either
-way; swapping in PIL/ffmpeg for the compressed formats remains a
-one-function change.
+plain struct/numpy parsing per the public specs; PNG (8-bit
+grey/RGB/RGBA) is decoded with stdlib zlib (chunk walk, inflate, all
+five row filters including Paeth); GIF carries a hand-written LZW
+codec; and JPEG — baseline AND progressive DCT — is a from-scratch
+T.81 implementation (operators/jpeg.py). extract_media_meta routes
+them to true dimensions + pixel/sample/frame-statistics features,
+sample_frames extracts real frames, resize_media really resamples.
+Only codecs that genuinely cannot be implemented honestly here
+(arithmetic-coded JPEG, MP3, H.264) raise NotImplementedError, and
+unknown payloads fall back to the clearly-marked deterministic
+`_decode_stub`. Everything Spark-side — schema, Arrow batch shapes,
+mapInPandas signatures, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -82,10 +82,10 @@ def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders for uncompressed container formats (no codec libraries
-# needed — plain struct parsing per the public format specs). Compressed
-# formats (PNG/JPEG/MP3/H.264) still raise: faking entropy decoding would
-# be dishonest, and the libraries are not in this container.
+# REAL decoders, all stdlib+numpy: struct parsing for the uncompressed
+# containers, zlib for PNG, a hand-written LZW for GIF; JPEG lives in
+# operators/jpeg.py. MP3/H.264 still raise — faking entropy decoding
+# would be dishonest, and the codec libraries are not in this container.
 # ---------------------------------------------------------------------------
 
 import struct
@@ -546,10 +546,10 @@ def decode_y4m(payload: bytes) -> dict:
 
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes: REAL decode for BMP / P6 PPM / PCM WAV /
-    PNG / GIF / Y4M / baseline JPEG (operators/jpeg.py, ITU-T T.81),
-    NotImplementedError for still-unsupported codecs (progressive JPEG,
-    MP3, H.264), None for unknown payloads (callers fall back to the
-    stub)."""
+    PNG / GIF / Y4M / JPEG — baseline AND progressive DCT
+    (operators/jpeg.py, ITU-T T.81) — NotImplementedError for
+    still-unsupported codecs (arithmetic-coded JPEG, MP3, H.264), None
+    for unknown payloads (callers fall back to the stub)."""
     if payload[:2] == b"BM":
         px = decode_bmp(payload)
         return {"kind": "bmp", "width": px.shape[1], "height": px.shape[0],

@@ -93,11 +93,22 @@ class TestColor:
 
 
 class TestRobustness:
-    def test_progressive_raises(self):
+    def test_mode_confusion_rejected(self):
+        # progressive now DECODES (TestProgressive); flipping a baseline
+        # stream's SOF to SOF2 yields an ill-formed progressive scan
+        # (Ss=0 with Se=63) that must be rejected, not misread
         px = np.zeros((8, 8), dtype=np.uint8)
         b = bytearray(jpeg.encode_jpeg(px))
         i = b.index(b"\xff\xc0")
         b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bytes(b))
+
+    def test_arithmetic_coding_raises(self):
+        px = np.zeros((8, 8), dtype=np.uint8)
+        b = bytearray(jpeg.encode_jpeg(px))
+        i = b.index(b"\xff\xc0")
+        b[i + 1] = 0xC9  # arithmetic-coded sequential
         with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(bytes(b))
 
@@ -209,3 +220,111 @@ class TestOracleFixtureMargins:
                 )
                 assert tuple(int(v) for v in dec[0, 8 * b]) == want, (n, b)
                 assert np.all(dec[:, 8 * b : 8 * b + 8] == np.array(want)), (n, b)
+
+
+class TestProgressive:
+    """SOF2 progressive DCT (r4 stretch): progressive only reorders the
+    SAME quantized coefficients, so decode(progressive) must equal
+    decode(baseline) BIT FOR BIT on the same image and quality."""
+
+    @pytest.mark.parametrize("shape", [(8, 8), (16, 24), (9, 13), (40, 33)])
+    @pytest.mark.parametrize("quality", [35, 75, 92])
+    def test_gray_equals_baseline(self, shape, quality):
+        px = RNG.integers(0, 256, shape).astype(np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(px, quality=quality)
+        )
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("shape", [(16, 16, 3), (21, 19, 3), (40, 56, 3)])
+    def test_color_equals_baseline(self, shape):
+        px = RNG.integers(0, 256, shape).astype(np.uint8)
+        base = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(px, quality=80, subsampling="444")
+        )
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, quality=80))
+        assert np.array_equal(base, prog)
+
+    def test_sparse_high_frequency_refinement_runs(self):
+        """Craft images from sparse DCT coefficients so the refinement
+        scans must walk long zero-history runs (the ZRL-in-refinement
+        and deep-skip paths)."""
+        ql = jpeg.scaled_quant_table(jpeg.QUANT_LUMA, 75)
+        for kpos in (40, 55, 63):
+            coefs = np.zeros((1, 64))
+            coefs[0, jpeg.ZIGZAG[kpos]] = 5.0 * ql[jpeg.ZIGZAG[kpos]]
+            coefs[0, 0] = 8.0 * 16  # mild DC so pixels stay in range
+            sp = jpeg.idct2d(coefs.reshape(1, 8, 8)) + 128
+            px = np.clip(np.floor(sp + 0.5), 0, 255)[0].astype(np.uint8)
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75))
+            prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, quality=75))
+            assert np.array_equal(base, prog), kpos
+
+    def test_decode_media_dispatches_progressive(self):
+        px = RNG.integers(0, 256, (16, 16)).astype(np.uint8)
+        dec = mm.decode_media(jpeg.encode_jpeg_progressive(px, quality=75))
+        assert dec["kind"] == "jpeg"
+        assert np.array_equal(
+            dec["pixels"],
+            jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75)),
+        )
+
+    def test_foreign_eobrun_gt1_path(self):
+        """Hand-roll a progressive stream with a CUSTOM Huffman table
+        containing EOBn (r>0) symbols — the accumulated-EOB-run decode
+        path our encoder never emits (it uses per-block EOBs because the
+        Annex-K tables lack EOBn codes)."""
+        import struct as _st
+
+        # image: 4 blocks wide, 1 tall, all-zero AC band; DC = 0
+        w, h = 32, 8
+        # custom AC table: symbols 0x00 (EOB1), 0x20 (EOB4), 0x01
+        bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        vals = [0x00, 0x20, 0x01]
+        enc = jpeg._build_encoder(bits, vals)
+
+        out = bytearray(b"\xff\xd8")
+        ql = jpeg.scaled_quant_table(jpeg.QUANT_LUMA, 75)
+        out += jpeg._segment(
+            0xDB, bytes([0x00]) + bytes(ql[jpeg.ZIGZAG].tolist())
+        )
+        sof = _st.pack(">BHHB", 8, h, w, 1) + _st.pack(">BBB", 1, 0x11, 0)
+        out += jpeg._segment(0xC2, sof)
+        dcb, dcv = jpeg.HUFF_DC_LUMA
+        out += jpeg._segment(
+            0xC4, bytes([0x00]) + bytes(dcb) + bytes(dcv)
+        )
+        out += jpeg._segment(
+            0xC4, bytes([0x10]) + bytes(bits) + bytes(vals)
+        )
+        # DC first scan: 4 blocks, all diffs zero
+        out += jpeg._segment(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        bw = jpeg._BitWriter()
+        dctab = jpeg._build_encoder(*jpeg.HUFF_DC_LUMA)
+        for _ in range(4):
+            code, ln = dctab[0]
+            bw.write(code, ln)
+        out += bw.flush()
+        # AC first scan 1..63 with ONE EOB4 covering all four blocks
+        out += jpeg._segment(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        bw = jpeg._BitWriter()
+        code, ln = enc[0x20]  # EOBn with r=2 -> run = 4 + 2 appended bits
+        bw.write(code, ln)
+        bw.write(0, 2)  # EOBRUN = (1<<2) + 0 = 4
+        out += bw.flush()
+        out += b"\xff\xd9"
+        dec = jpeg.decode_jpeg(bytes(out))
+        # DC 0 everywhere -> flat 128 gray
+        assert dec.shape == (8, 32, 1)
+        assert np.all(dec == 128)
+
+    def test_progressive_with_dri_raises(self):
+        px = np.zeros((8, 8), dtype=np.uint8)
+        b = bytearray(jpeg.encode_jpeg_progressive(px))
+        # splice a DRI segment right before the first SOS
+        i = b.index(b"\xff\xda")
+        dri = jpeg._segment(0xDD, struct.pack(">H", 2))
+        b2 = bytes(b[:i]) + dri + bytes(b[i:])
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(b2)
