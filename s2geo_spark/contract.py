@@ -3417,6 +3417,27 @@ def q_media_decode(spark, sf_dir):
                      int((jdec["pixels"][:, :, 0].astype(np.int64)
                           * (1 + jx + 2 * jy)).sum()))
                 )
+                # PROGRESSIVE JPEG: same block-constant trick — SOF2 only
+                # reorders the identical quantized coefficients, so the
+                # closed-form prediction is the same arithmetic; this puts
+                # the multi-scan/EOB-run/refinement path under the driver
+                # gate, not just pytest
+                pbw, pbh = 1 + (n + 1) % 3, 1 + (n + 1) % 2
+                pw_, ph_ = 8 * pbw, 8 * pbh
+                py_, px_ = np.meshgrid(
+                    np.arange(ph_), np.arange(pw_), indexing="ij"
+                )
+                pgpx = (
+                    (n * 47 + (px_ // 8) * 13 + (py_ // 8) * 29) % 256
+                ).astype(np.uint8)
+                pdec2 = mm.decode_media(
+                    jpeg_ops.encode_jpeg_progressive(pgpx, quality=75)
+                )
+                rows.append(
+                    (n, "jpegp", pdec2["width"], pdec2["height"],
+                     int((pdec2["pixels"][:, :, 0].astype(np.int64)
+                          * (1 + px_ + 2 * py_)).sum()))
+                )
                 # COLOR JPEG (4:4:4, two 8x8 block-constant RGB columns):
                 # exercises the chroma quant table, the interleaved
                 # Y/Cb/Cr MCU order with per-component DC chains, and the
@@ -3550,6 +3571,19 @@ jpg AS (
             AND y.v < 8 * (1 + n0.n % 2)) AS wsum
   FROM n0
 ),
+jpp AS (
+  -- progressive JPEG: identical closed form (same quantized-DC path)
+  SELECT n0.n AS media_id, 'jpegp' AS kind,
+         8 * (1 + (n0.n + 1) % 3) AS dim1,
+         8 * (1 + (n0.n + 1) % 2) AS dim2,
+         (SELECT SUM(((n0.n*47 + (x.v // 8)*13 + (y.v // 8)*29) % 256)
+                     * (1 + x.v + 2*y.v))
+          FROM generate_series(0, 23) x(v),
+               generate_series(0, 15) y(v)
+          WHERE x.v < 8 * (1 + (n0.n + 1) % 3)
+            AND y.v < 8 * (1 + (n0.n + 1) % 2)) AS wsum
+  FROM n0
+),
 jpc_blk AS (
   -- color JPEG fixture: per (nation, block) constant RGB
   SELECT n0.n AS n, bb.v AS b,
@@ -3609,7 +3643,7 @@ SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
       UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg
-      UNION ALL SELECT * FROM jpc) u
+      UNION ALL SELECT * FROM jpp UNION ALL SELECT * FROM jpc) u
 """
 
 
