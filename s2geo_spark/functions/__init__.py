@@ -170,10 +170,12 @@ def h3_kring(cell, k: int, layout: str = "face20") -> Column:
         if layout == "h3":
             from s2geo_spark.kernel import h3_dymaxion as _hd
 
+            # _u64 handles nullable cell columns (na_value=0), matching
+            # the face20 branch below
             return pd.Series(
                 [
                     _hd.k_ring(np.array([v], dtype=np.int64), k).tolist()
-                    for v in c.to_numpy(dtype=np.int64)
+                    for v in _u64(c).view(np.int64)
                 ]
             )
         rings = _h3.k_ring(_u64(c), k).view(np.int64)

@@ -655,21 +655,26 @@ def polyfill(
     library's polyfill/polygonToCells semantics (center containment, not
     intersection). Works on either layout.
 
-    BFS flood fill: seed at the loop centroid's cell, expand over ring-1
-    neighbors, keep cells whose center passes the exact crossing-parity
-    PIP (kernel/loops.PreparedLoop — the same predicate the S2 joins
-    use); frontier cells that fail are still expanded `slack` hops so
-    concave pockets reachable only through outside-center cells are not
-    cut off prematurely, but only center-inside cells are emitted. Raise
-    `slack` for polygons with necks thinner than `slack` cells at this
-    resolution (the tradeoff vs the upstream bbox-enumeration approach:
-    the BFS never visits the bounding box's empty majority). The loop
-    must be smaller than a hemisphere (the PreparedLoop precondition).
+    BFS flood fill seeded at the cells of EVERY loop vertex plus the
+    vertex centroid (the boundary-cell band is connected and touches the
+    region for any simple loop shape, so concave polygons whose centroid
+    falls outside — crescents, C-shapes — still fill completely; a
+    centroid-only seed dies there). The frontier expands over ring-1
+    neighbors in BATCHED k_ring calls (one per budget class per round,
+    not one per cell); only cells whose center passes the exact
+    crossing-parity PIP (kernel/loops.PreparedLoop — the same predicate
+    the S2 joins use) are emitted, and outside-center cells expand up to
+    `slack` extra hops so thin necks are crossed. Raise `slack` for
+    necks thinner than `slack` cells at this resolution (the tradeoff vs
+    the upstream bbox-enumeration approach: the BFS never visits the
+    bounding box's empty majority). The loop must be smaller than a
+    hemisphere (the PreparedLoop precondition).
     """
     from . import loops as _loops
 
     v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
     lp = _loops.PreparedLoop(v)
+    dtype = np.int64 if layout == "h3" else np.uint64
 
     def _inside(ids: np.ndarray) -> np.ndarray:
         lat, lon = h3_to_geo(ids, layout=layout)
@@ -678,44 +683,39 @@ def polyfill(
 
     c = v.mean(axis=0)
     c /= np.linalg.norm(c)
-    seed_lat = np.degrees(np.arcsin(np.clip(c[2], -1, 1)))
-    seed_lon = np.degrees(np.arctan2(c[1], c[0]))
-    seed = geo_to_h3(np.array([seed_lat]), np.array([seed_lon]), res,
-                     layout=layout)
-    if layout == "h3":
-        seed = np.asarray(seed).view(np.int64)
+    seeds_xyz = np.vstack([v, c[None, :]])
+    seed_lat = np.degrees(np.arcsin(np.clip(seeds_xyz[:, 2], -1, 1)))
+    seed_lon = np.degrees(np.arctan2(seeds_xyz[:, 1], seeds_xyz[:, 0]))
+    seed = np.asarray(
+        geo_to_h3(seed_lat, seed_lon, res, layout=layout)
+    ).view(np.int64)
 
-    seen: set[int] = set(int(x) for x in np.asarray(seed).ravel().tolist())
     inside_ids: set[int] = set()
-    frontier = list(seen)
-    # cells reached through an outside-center cell may expand `slack`
-    # extra hops (thin necks); remaining budget tracked per cell
-    budgets = {h: slack for h in frontier}
+    # best known expansion budget per discovered cell
+    budgets = {int(x): slack for x in np.unique(seed).tolist()}
+    frontier = dict(budgets)
     while frontier:
-        arr = np.array(frontier, dtype=np.int64 if layout == "h3" else np.uint64)
-        ins = _inside(arr)
-        nxt: list[int] = []
-        for h, ok in zip(frontier, ins.tolist()):
+        cells = np.fromiter(frontier.keys(), dtype=np.int64, count=len(frontier))
+        ins = _inside(cells.astype(dtype) if layout != "h3" else cells)
+        # group expansion sources by the budget their neighbors inherit
+        groups: dict[int, list[int]] = {}
+        for cell, ok in zip(cells.tolist(), ins.tolist()):
             if ok:
-                inside_ids.add(h)
-            budget = slack if ok else budgets[h] - 1
-            if budget < 0:
-                continue
-            ring = k_ring(
-                np.array([h], dtype=np.int64 if layout == "h3" else np.uint64),
-                1,
-                layout=layout,
-            )
-            for nb in np.asarray(ring).ravel().tolist():
+                inside_ids.add(cell)
+                nb_budget = slack
+            else:
+                nb_budget = frontier[cell] - 1
+            if nb_budget >= 0:
+                groups.setdefault(nb_budget, []).append(cell)
+        nxt: dict[int, int] = {}
+        for nb_budget, group in groups.items():
+            ring = k_ring(np.array(group, dtype=dtype), 1, layout=layout)
+            for nb in np.asarray(ring).view(np.int64).ravel().tolist():
                 nb = int(nb)
-                if nb not in seen:
-                    seen.add(nb)
-                    budgets[nb] = budget
-                    nxt.append(nb)
-                elif budget > budgets.get(nb, 0) and nb not in inside_ids:
-                    # found a better-budget path; allow re-expansion
-                    budgets[nb] = budget
-                    nxt.append(nb)
+                known = budgets.get(nb)
+                if known is None or (nb_budget > known and nb not in inside_ids):
+                    budgets[nb] = max(nb_budget, known or 0)
+                    nxt[nb] = max(nxt.get(nb, -1), nb_budget)
         frontier = nxt
     out = np.array(sorted(inside_ids), dtype=np.int64)
     return out.view(np.uint64) if layout == "face20" else out

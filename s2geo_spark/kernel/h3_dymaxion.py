@@ -375,10 +375,17 @@ def h3_to_geo(h) -> tuple[np.ndarray, np.ndarray]:
 
 
 def h3_to_parent(h, parent_res: int) -> np.ndarray:
+    """Digit-path truncation. Cells already at or above parent_res are
+    returned unchanged (the face20 variant's behavior — packing filler
+    digit 7 into the active range would create invalid ids)."""
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
     base = get_base(h)
-    digits = [get_digit(h, r) for r in range(parent_res)]
-    return _pack(base, parent_res, digits)
+    res = get_resolution(h)
+    digits = [
+        np.where(r < res, get_digit(h, r), 0) for r in range(parent_res)
+    ]
+    packed = _pack(base, parent_res, digits)
+    return np.where(res <= parent_res, h, packed)
 
 
 def _uniform_res(h: np.ndarray, op: str) -> int:

@@ -1096,10 +1096,14 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
     except _MarkerHit as mh:
         raise ValueError(f"progressive scan truncated at marker {mh.marker:02x}")
 
-    # skip any padding bits, then find the next marker
+    # skip any padding bits, then find the next marker; 0xFF fill bytes
+    # before a marker are legal (T.81 B.1.1.2) — advance past runs of
+    # 0xFF so the caller's marker parse sees FF <marker>, not FF FF
     p = reader.pos
     while p + 1 < len(data) and not (
         data[p] == 0xFF and data[p + 1] != 0x00
     ):
+        p += 1
+    while p + 2 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
         p += 1
     return p

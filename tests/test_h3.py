@@ -392,3 +392,63 @@ class TestPolyfill:
             np.asarray(h3.polyfill(polys[1], 5)).view(np.int64).tolist()
         )
         assert set(out[out.polygon_id == 1]["h3_cell"]) == k1
+
+    @pytest.mark.parametrize("layout", ["face20", "h3"])
+    def test_polyfill_concave_crescent(self, layout):
+        """Review r4: a crescent whose centroid lies OUTSIDE the loop must
+        still fill completely (vertex-seeded BFS, not centroid-only)."""
+        from s2geo_spark.kernel import loops
+        from s2geo_spark.kernel import s2coords as sc
+
+        th = np.radians(np.linspace(-150, 150, 60))
+        outer = np.stack(
+            [47.0 + 2.0 * np.cos(th), 8.0 + 2.0 * np.sin(th)], axis=1
+        )
+        inner = np.stack(
+            [47.0 + 1.5 * np.cos(th[::-1]), 8.0 + 1.5 * np.sin(th[::-1])],
+            axis=1,
+        )
+        ll = np.vstack([outer, inner])
+        x, y, z = sc.latlng_degrees_to_xyz(ll[:, 0], ll[:, 1])
+        v = np.stack([x, y, z], axis=1)[::-1].copy()  # CCW interior
+        lp = loops.PreparedLoop(v)
+        cells = h3.polyfill(v, 5, layout=layout)
+        assert len(cells) > 5
+        # every emitted center inside
+        la, lo = h3.h3_to_geo(cells, layout=layout)
+        cx, cy, cz = sc.latlng_degrees_to_xyz(
+            np.atleast_1d(la), np.atleast_1d(lo)
+        )
+        assert lp.contains_points(np.stack([cx, cy, cz], axis=1)).all()
+        # completeness vs sampled inside points whose cells have inside
+        # centers
+        rng = np.random.default_rng(8)
+        plat = 47.0 + rng.uniform(-2.2, 2.2, 8000)
+        plon = 8.0 + rng.uniform(-2.2, 2.2, 8000)
+        xx, yy, zz = sc.latlng_degrees_to_xyz(plat, plon)
+        pin = lp.contains_points(np.stack([xx, yy, zz], axis=1))
+        ids = np.unique(
+            np.asarray(
+                h3.geo_to_h3(plat[pin], plon[pin], 5, layout=layout)
+            ).view(np.int64)
+        )
+        la2, lo2 = h3.h3_to_geo(
+            ids.view(np.uint64) if layout == "face20" else ids, layout=layout
+        )
+        c2 = np.stack(
+            sc.latlng_degrees_to_xyz(np.atleast_1d(la2), np.atleast_1d(lo2)),
+            axis=1,
+        )
+        cin = lp.contains_points(c2)
+        emitted = set(np.asarray(cells).view(np.int64).tolist())
+        missing = [i for i, ok in zip(ids.tolist(), cin.tolist())
+                   if ok and i not in emitted]
+        assert not missing
+
+    def test_dymaxion_parent_res_guard(self):
+        from s2geo_spark.kernel import h3_dymaxion as hd
+
+        c = hd.geo_to_h3(np.array([47.37, -33.86]), np.array([8.54, 151.2]), 3)
+        p = hd.h3_to_parent(c, 5)  # parent coarser than requested
+        assert np.array_equal(p, c)
+        assert hd.is_valid(p).all()
