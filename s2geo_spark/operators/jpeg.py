@@ -16,12 +16,16 @@ arithmetic coding (SOF9+), 12-bit precision, hierarchical modes, and
 progressive streams with restart intervals raise NotImplementedError —
 this decodes the two DCT classes it claims, it does not fake the rest.
 
-Throughput: the DCT/color stages are vectorized NumPy, but Huffman
-entropy coding is a per-symbol Python loop (~0.7 s to decode a 1 MP
-photo) — adequate for the thumbnail-scale payloads a CC-style corpus
-row carries and for the oracle fixtures; a production hot path for
-full-size photos would swap this stage for a native codec behind the
-same decode_media dispatch.
+Throughput: the DCT/color stages are vectorized NumPy. Huffman entropy
+decode has two paths sharing one semantics: streams WITH restart
+intervals decode all intervals lane-parallel in NumPy (each interval is
+an independently decodable, byte-aligned segment with reset DC
+predictors — T.81 E.2.4), via a 16-bit-peek Huffman LUT and stride-4
+64-bit bit windows; ~0.07-0.11 s per 1 MP grayscale photo, 10-12x the
+scalar reader, bit-identical output. Streams WITHOUT restarts fall back
+to the per-symbol scalar reader (~0.7 s/MP) — adequate for the
+thumbnail-scale payloads a CC-style corpus row carries; decode_media's
+MAX_DECODE_PIXELS gate bounds the worst case either way.
 
 The reference repo has no media code at all; this is built from the
 public spec. Decoding is exercised bit-exactly by tests
@@ -586,6 +590,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     }
                 )
             if not frame["progressive"]:
+                if ns < len(frame["comps"]):
+                    # spec-legal non-interleaved sequential (one scan per
+                    # component): decoding only the first scan would return
+                    # a plausible-but-wrong grayscale image — honest raise,
+                    # same policy as the arithmetic/12-bit/hierarchical modes
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) sequential JPEG"
+                    )
                 return _decode_scan(
                     payload, pos + 2 + seglen, frame, scan, qtabs,
                     restart_interval,
@@ -622,6 +634,253 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan, qtabs, restart_interval):
+    """Dispatch: restart-interval streams decode all intervals in lockstep
+    with NumPy (each interval is an independently decodable entropy segment
+    with byte-aligned start and reset DC predictors — T.81 E.2.4); streams
+    without restarts use the scalar reader."""
+    if restart_interval:
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        if mcux * mcuy > restart_interval:  # >= 2 lanes
+            return _decode_scan_vec(data, pos, frame, scan, qtabs,
+                                    restart_interval)
+    return _decode_scan_scalar(data, pos, frame, scan, qtabs,
+                               restart_interval)
+
+
+def _lut16_pairs(dec_table):
+    """Canonical-Huffman (length, code)->symbol dict -> (start, span, ln,
+    sym) fill ranges for a 16-bit peek LUT."""
+    for (ln, code), sym in dec_table.items():
+        yield code << (16 - ln), 1 << (16 - ln), ln, sym
+
+
+def _build_dc_lut(dec_table):
+    """16-bit-peek tables for one DC Huffman table. Indexed by peek16:
+    adv = code length + magnitude width (total bit advance; 0 = invalid
+    code), msk = (1<<t)-1 (extraction mask AND the EXTEND subtrahend),
+    half = 1<<(t-1) (EXTEND sign threshold; 0 when t == 0)."""
+    adv = np.zeros(1 << 16, np.int64)
+    msk = np.zeros(1 << 16, np.int64)
+    half = np.zeros(1 << 16, np.int64)
+    for start, span, ln, t in _lut16_pairs(dec_table):
+        adv[start : start + span] = ln + t
+        msk[start : start + span] = (1 << t) - 1
+        half[start : start + span] = (1 << (t - 1)) if t else 0
+    return adv, msk, half
+
+
+def _build_ac_lut(dec_table):
+    """16-bit-peek tables for one AC Huffman table: adv/msk/half as in the
+    DC LUT (with t = the size nibble), plus run = the run-length nibble,
+    coded = sz > 0, cont = NOT the EOB symbol (run/size == 0/0)."""
+    adv = np.zeros(1 << 16, np.int64)
+    msk = np.zeros(1 << 16, np.int64)
+    half = np.zeros(1 << 16, np.int64)
+    run = np.zeros(1 << 16, np.int64)
+    coded = np.zeros(1 << 16, bool)
+    cont = np.zeros(1 << 16, bool)
+    for start, span, ln, rs in _lut16_pairs(dec_table):
+        r, sz = rs >> 4, rs & 15
+        sl = slice(start, start + span)
+        adv[sl] = ln + sz
+        msk[sl] = (1 << sz) - 1
+        half[sl] = (1 << (sz - 1)) if sz else 0
+        run[sl] = r
+        coded[sl] = sz > 0
+        cont[sl] = sz > 0 or r == 15
+    return adv, msk, half, run, coded, cont
+
+
+def _split_restart_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data at RSTn markers, un-stuffing 0xFF00 in
+    each segment; validates the RST modulo-8 sequence. Returns the raw
+    segments and the offset of the terminating (non-RST) marker."""
+    segs: list[bytes] = []
+    start = i = pos
+    while True:
+        j = data.find(0xFF, i)
+        if j < 0 or j + 1 >= len(data):
+            raise ValueError("unterminated JPEG scan")
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        segs.append(data[start:j].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:
+            if (nxt & 7) != (len(segs) - 1) % 8:
+                raise ValueError("RST marker out of sequence")
+            start = i = j + 2
+            continue
+        return segs, j
+
+
+def _window64(mat: np.ndarray) -> np.ndarray:
+    """Per-lane 64-bit big-endian windows at every 4th byte: W[li, i]
+    holds the 8 bytes starting at byte 4i, so ONE gather per symbol (at
+    index bitpos>>5, intra-window offset bitpos&31) yields enough bits for
+    the longest code (16) + the widest magnitude field (11) at any offset
+    (31 + 27 <= 64). Built from a uint32 view in two whole-matrix ops."""
+    n_lanes, maxlen = mat.shape
+    n32 = (maxlen + 8 + 3) // 4 + 1
+    padded = np.zeros((n_lanes, n32 * 4), np.uint8)
+    padded[:, :maxlen] = mat
+    a = padded.view(">u4").astype(np.uint64)
+    return (a[:, :-1] << np.uint64(32)) | a[:, 1:]
+
+
+def _extend_vec(v, n):
+    """Vectorized T.81 F.12 EXTEND (n == 0 -> 0)."""
+    n1 = np.maximum(n, 1).astype(np.int64)
+    half = np.int64(1) << (n1 - 1)
+    full = np.int64(1) << n1
+    out = np.where(v < half, v - full + 1, v)
+    return np.where(n == 0, 0, out)
+
+
+def _decode_scan_vec(data, pos, frame, scan, qtabs, restart_interval):
+    """Lane-parallel baseline scan decode: one NumPy lane per restart
+    interval, stepping all lanes through the shared MCU/block structure in
+    lockstep (masked lanes idle once their interval or block is done).
+    Bit-identical to _decode_scan_scalar; ~20-40x fewer Python iterations
+    (max symbols per interval instead of total symbols)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    n_lanes = (n_mcus + restart_interval - 1) // restart_interval
+
+    raw_segs, _end = _split_restart_segments(data, pos)
+    if len(raw_segs) != n_lanes:
+        raise ValueError(
+            f"expected {n_lanes} restart segments, found {len(raw_segs)}"
+        )
+    maxlen = max(len(s) for s in raw_segs)
+    mat = np.zeros((n_lanes, maxlen), np.uint8)
+    for li, s in enumerate(raw_segs):
+        mat[li, : len(s)] = np.frombuffer(s, np.uint8)
+    win = _window64(mat)
+    win1 = win.reshape(-1)
+    wcols = win.shape[1]
+    m16 = np.uint64(0xFFFF)
+
+    dc_luts: dict[int, tuple] = {}  # id(table) -> arrays, shared across comps
+    ac_luts: dict[int, tuple] = {}
+    for s in scan:
+        if id(s["dc"]) not in dc_luts:
+            dc_luts[id(s["dc"])] = _build_dc_lut(s["dc"])
+        if id(s["ac"]) not in ac_luts:
+            ac_luts[id(s["ac"])] = _build_ac_lut(s["ac"])
+
+    comp_zz = [
+        np.zeros((mcuy * s["comp"]["v"], mcux * s["comp"]["h"], 64), np.int64)
+        for s in scan
+    ]
+    zz_flat = [a.reshape(-1) for a in comp_zz]
+
+    lanes = np.arange(n_lanes, dtype=np.int64)
+    bitpos = np.zeros(n_lanes, np.int64)
+    preds = np.zeros((len(scan), n_lanes), np.int64)
+    # per-lane MCU count (only the last interval may be short)
+    lane_mcus = np.full(n_lanes, restart_interval, np.int64)
+    lane_mcus[-1] = n_mcus - (n_lanes - 1) * restart_interval
+    lane_base = lanes * restart_interval
+
+    for m in range(restart_interval):
+        act_mask = m < lane_mcus
+        if not act_mask.any():
+            break
+        act = np.nonzero(act_mask)[0]
+        actoff = act * wcols  # flat row offsets into win1
+        g = lane_base[act] + m  # global MCU index per active lane
+        my, mx = g // mcux, g % mcux
+        for ci, s in enumerate(scan):
+            cv, ch = s["comp"]["v"], s["comp"]["h"]
+            cols = mcux * ch
+            dc_adv, dc_msk, dc_half = dc_luts[id(s["dc"])]
+            ac_adv, ac_msk, ac_half, ac_run, ac_coded, ac_cont = ac_luts[
+                id(s["ac"])
+            ]
+            zz1 = zz_flat[ci]
+            predci = preds[ci]
+            for dy in range(cv):
+                for dx in range(ch):
+                    # flat int64 indices throughout: 1D .take() gathers are
+                    # ~3x faster than 2D fancy indexing at these widths
+                    blk64 = ((my * cv + dy) * cols + (mx * ch + dx)) * 64
+                    # --- DC: one 64-bit window serves code + value bits ---
+                    bp = bitpos.take(act)
+                    w = win1.take(actoff + (bp >> 5))
+                    s1 = 48 - (bp & 31)
+                    p16 = ((w >> s1.astype(np.uint64)) & m16).astype(np.int64)
+                    adv = dc_adv.take(p16)
+                    if not adv.all():
+                        raise ValueError("invalid Huffman code")
+                    bitpos[act] = bp + adv
+                    msk = dc_msk.take(p16)
+                    v = (
+                        (w >> (s1 + 16 - adv).astype(np.uint64)).astype(
+                            np.int64
+                        )
+                        & msk
+                    )
+                    # EXTEND (T.81 F.12): v < 2^(t-1)  ->  v - (2^t - 1)
+                    pr = predci.take(act) + (
+                        v - np.where(v < dc_half.take(p16), msk, 0)
+                    )
+                    predci[act] = pr
+                    zz1[blk64] = pr
+                    # --- AC run-length loop, lanes drop out at EOB ---
+                    cur = act
+                    curoff = actoff
+                    curblk64 = blk64
+                    k = np.ones(cur.shape[0], np.int64)
+                    while cur.size:
+                        bp = bitpos.take(cur)
+                        w = win1.take(curoff + (bp >> 5))
+                        s1 = 48 - (bp & 31)
+                        p16 = (
+                            (w >> s1.astype(np.uint64)) & m16
+                        ).astype(np.int64)
+                        adv = ac_adv.take(p16)
+                        if not adv.all():
+                            raise ValueError("invalid Huffman code")
+                        bitpos[cur] = bp + adv
+                        msk = ac_msk.take(p16)
+                        v = (
+                            (w >> (s1 + 16 - adv).astype(np.uint64)).astype(
+                                np.int64
+                            )
+                            & msk
+                        )
+                        ext = v - np.where(v < ac_half.take(p16), msk, 0)
+                        kw = k + ac_run.take(p16)  # coded write index
+                        ix = np.nonzero(ac_coded.take(p16))[0]
+                        if ix.size:
+                            kwix = kw.take(ix)
+                            if (kwix > 63).any():
+                                raise ValueError(
+                                    "AC coefficient index out of range"
+                                )
+                            zz1[curblk64.take(ix) + kwix] = ext.take(ix)
+                        # next k: coded -> k+run+1; ZRL (run 15, sz 0) ->
+                        # k+16 = kw+1 too; EOB lanes are dropped below
+                        k = kw + 1
+                        keep = ac_cont.take(p16) & (k < 64)
+                        if not keep.all():
+                            cur = cur[keep]
+                            curoff = curoff[keep]
+                            curblk64 = curblk64[keep]
+                            k = k[keep]
+
+    return _reconstruct(frame, [s["comp"] for s in scan], comp_zz, qtabs)
+
+
+def _decode_scan_scalar(data, pos, frame, scan, qtabs, restart_interval):
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -662,12 +921,16 @@ def _reconstruct(frame, comps, comp_zz, qtabs):
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     planes = []
+    izz = np.argsort(ZIGZAG)  # natural[j] = zigzag[izz[j]]
     for ci, c in enumerate(comps):
         q = qtabs[c["tq"]]
         zz = comp_zz[ci].reshape(-1, 64)
-        raster = np.zeros_like(zz)
-        raster[:, ZIGZAG] = zz  # inverse zigzag
-        coefs = (raster * q).reshape(-1, 8, 8).astype(np.float64)
+        # dequantize in the zigzag domain, inverse-zigzag as a gather
+        # (values are exact: |coef * q| << 2^53, so float64 math is the
+        # same integers the int64 path produced)
+        coefs = (
+            (zz * q[ZIGZAG].astype(np.float64))[:, izz].reshape(-1, 8, 8)
+        )
         spatial = idct2d(coefs) + 128.0
         by, bx = comp_zz[ci].shape[0], comp_zz[ci].shape[1]
         plane = (

@@ -328,3 +328,79 @@ class TestProgressive:
         b2 = bytes(b[:i]) + dri + bytes(b[i:])
         with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(b2)
+
+
+class TestVectorizedScanDecode:
+    """The lane-parallel (restart-interval) entropy decoder must be
+    bit-identical to the scalar reader on every stream shape that can
+    reach it, and must actually be selected when restarts are present."""
+
+    def _roundtrip_both(self, px, sub, dri, quality=75):
+        payload = jpeg.encode_jpeg(
+            px, quality=quality, subsampling=sub, restart_interval=dri
+        )
+        orig = jpeg._decode_scan
+        try:
+            jpeg._decode_scan = jpeg._decode_scan_scalar
+            ref = jpeg.decode_jpeg(payload)
+        finally:
+            jpeg._decode_scan = orig
+        fast = jpeg.decode_jpeg(payload)
+        assert np.array_equal(ref, fast)
+        return ref
+
+    def test_gray_bit_exact_across_dri(self):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (120, 130), dtype=np.uint8)
+        for dri in (1, 2, 3, 8, 64):
+            self._roundtrip_both(px, "444", dri)
+
+    def test_color_bit_exact_420_and_444(self):
+        rng = np.random.default_rng(8)
+        px = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+        self._roundtrip_both(px, "420", 4)
+        self._roundtrip_both(px, "444", 4)
+
+    def test_partial_last_interval_and_edge_mcus(self):
+        # 41x33: non-multiple-of-8 dims AND a short final restart interval
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (41, 33), dtype=np.uint8)
+        self._roundtrip_both(px, "444", 7)
+
+    def test_extreme_quality_magnitude_bits(self):
+        # quality 95 -> small quantizers -> wide magnitude fields; exercises
+        # the 64-bit window's worst-case sh+len+size packing
+        rng = np.random.default_rng(10)
+        px = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+        self._roundtrip_both(px, "444", 2, quality=95)
+        self._roundtrip_both(px, "444", 2, quality=5)
+
+    def test_vector_path_selected(self, monkeypatch):
+        called = {}
+        orig = jpeg._decode_scan_vec
+
+        def spy(*a, **kw):
+            called["vec"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(jpeg, "_decode_scan_vec", spy)
+        px = np.zeros((32, 32), dtype=np.uint8)
+        jpeg.decode_jpeg(jpeg.encode_jpeg(px, restart_interval=2))
+        assert called.get("vec")
+        # no restarts -> scalar path, vec never called
+        called.clear()
+        jpeg.decode_jpeg(jpeg.encode_jpeg(px))
+        assert not called
+
+    def test_multiscan_sequential_raises(self):
+        # spec-legal non-interleaved sequential (one scan per component)
+        # must raise, not silently return the first component
+        px = np.full((8, 8, 3), 90, dtype=np.uint8)
+        b = bytearray(jpeg.encode_jpeg(px))
+        i = b.index(b"\xff\xda")
+        seglen = struct.unpack_from(">H", b, i + 2)[0]
+        # rewrite the SOS header to cover only component 1
+        sos = jpeg._segment(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        b2 = bytes(b[:i]) + sos + bytes(b[i + 2 + seglen :])
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(b2)
