@@ -109,6 +109,42 @@ def tessellate_edge(a: np.ndarray, b: np.ndarray, tolerance_rad: float,
     return np.array(out)
 
 
+def _dtw_dp(cost: np.ndarray, strides: np.ndarray | None = None) -> np.ndarray:
+    """Row-vectorized min-plus DTW table fill (optionally restricted to
+    per-row column windows [start, end)). The recurrence
+    dp[i,j] = cost[i,j] + min(dp[i-1,j], dp[i,j-1], dp[i-1,j-1]) unrolls
+    along each row into dp[i,j] = P[j+1] + min_{k<=j} (u[k] - P[k]) with
+    u[j] = min(dp[i-1,j], dp[i-1,j-1]) and P the row's cost prefix sum —
+    a running minimum (np.minimum.accumulate), so each row is O(nb)
+    NumPy work instead of a per-cell Python loop. In quantum mode every
+    value is an integer-valued float64 (|sums| << 2^53), so this is
+    bit-identical to the sequential formulation; out-of-window cells stay
+    +inf exactly as the scalar windowed loop left them."""
+    na, nb = cost.shape
+    dp = np.full((na, nb), np.inf)
+    pref = np.empty(nb + 1)
+    u = np.empty(nb)
+    for i in range(na):
+        s, e = (
+            (0, nb) if strides is None else (int(strides[i, 0]), int(strides[i, 1]))
+        )
+        if e <= s:
+            continue
+        pref[0] = 0.0
+        np.cumsum(cost[i, :e], out=pref[1 : e + 1])
+        if i == 0:
+            u[0] = 0.0  # virtual predecessor of (0, 0)
+            u[1:e] = np.inf
+        else:
+            up = dp[i - 1]
+            u[:e] = up[:e]
+            np.minimum(up[1:e], up[: e - 1], out=u[1:e])
+        seg = u[s:e] - pref[s:e]
+        np.minimum.accumulate(seg, out=seg)
+        dp[i, s:e] = pref[s + 1 : e + 1] + seg
+    return dp
+
+
 def dtw_alignment(a: np.ndarray, b: np.ndarray, cost_quantum: float | None = None):
     """Exact dynamic-time-warping vertex alignment of two polylines
     (s2polyline_alignment.cc ExactVertexAlignment): monotone path through
@@ -129,20 +165,7 @@ def dtw_alignment(a: np.ndarray, b: np.ndarray, cost_quantum: float | None = Non
     if cost_quantum is not None:
         # half-up (costs are non-negative), matching SQL round()
         cost = np.floor(cost / cost_quantum + 0.5)
-    dp = np.full((na, nb), np.inf)
-    dp[0, 0] = cost[0, 0]
-    for i in range(na):
-        for j in range(nb):
-            if i == 0 and j == 0:
-                continue
-            best = np.inf
-            if i > 0:
-                best = min(best, dp[i - 1, j])
-            if j > 0:
-                best = min(best, dp[i, j - 1])
-            if i > 0 and j > 0:
-                best = min(best, dp[i - 1, j - 1])
-            dp[i, j] = cost[i, j] + best
+    dp = _dtw_dp(cost)
     # backtrack
     path = [(na - 1, nb - 1)]
     i, j = na - 1, nb - 1
@@ -213,21 +236,7 @@ def _windowed_dtw(a, b, strides, cost_quantum):
     cost = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
     if cost_quantum is not None:
         cost = np.floor(cost / cost_quantum + 0.5)
-    dp = np.full((na, nb), np.inf)
-    for i in range(na):
-        s, e = int(strides[i, 0]), int(strides[i, 1])
-        for j in range(s, e):
-            if i == 0 and j == 0:
-                dp[0, 0] = cost[0, 0]
-                continue
-            best = np.inf
-            if i > 0:
-                best = min(best, dp[i - 1, j])
-            if j > 0:
-                best = min(best, dp[i, j - 1])
-            if i > 0 and j > 0:
-                best = min(best, dp[i - 1, j - 1])
-            dp[i, j] = cost[i, j] + best
+    dp = _dtw_dp(cost, strides)
     path = [(na - 1, nb - 1)]
     i, j = na - 1, nb - 1
     while (i, j) != (0, 0):

@@ -365,3 +365,65 @@ class TestPolylineClip:
         x, y, z = sc.latlng_degrees_to_xyz(lats, lons)
         chains = pl.clip_polyline_to_loop(np.stack([x, y, z], 1), loop)
         assert len(chains) == 2
+
+
+class TestRowScanDP:
+    """The row-vectorized min-plus DP (_dtw_dp) must reproduce the
+    sequential recurrence cell-for-cell, windowed and unwindowed."""
+
+    @staticmethod
+    def _scalar_dp(cost, strides=None):
+        na, nb = cost.shape
+        dp = np.full((na, nb), np.inf)
+        for i in range(na):
+            s, e = (
+                (0, nb)
+                if strides is None
+                else (int(strides[i, 0]), int(strides[i, 1]))
+            )
+            for j in range(s, e):
+                if i == 0 and j == 0:
+                    dp[0, 0] = cost[0, 0]
+                    continue
+                best = np.inf
+                if i > 0:
+                    best = min(best, dp[i - 1, j])
+                if j > 0:
+                    best = min(best, dp[i, j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, dp[i - 1, j - 1])
+                dp[i, j] = cost[i, j] + best
+        return dp
+
+    def test_full_dp_bit_identical_integer_costs(self):
+        rng = np.random.default_rng(31)
+        for _ in range(15):
+            na, nb = rng.integers(1, 40, 2)
+            cost = rng.integers(0, 1000, (na, nb)).astype(float)
+            assert np.array_equal(
+                pl._dtw_dp(cost), self._scalar_dp(cost)
+            )
+
+    def test_windowed_dp_bit_identical(self):
+        rng = np.random.default_rng(32)
+        for _ in range(15):
+            na, nb = int(rng.integers(2, 30)), int(rng.integers(2, 30))
+            cost = rng.integers(0, 1000, (na, nb)).astype(float)
+            strides = np.zeros((na, 2), np.int64)
+            lo = 0
+            for i in range(na):
+                lo = min(lo + int(rng.integers(0, 3)), nb - 1)
+                strides[i] = (lo, min(nb, lo + 1 + int(rng.integers(0, 6))))
+            assert np.array_equal(
+                pl._dtw_dp(cost, strides),
+                self._scalar_dp(cost, strides),
+            )
+
+    def test_float_costs_match_tightly(self):
+        rng = np.random.default_rng(33)
+        for _ in range(10):
+            na, nb = int(rng.integers(2, 30)), int(rng.integers(2, 30))
+            cost = rng.random((na, nb))
+            assert np.allclose(
+                pl._dtw_dp(cost), self._scalar_dp(cost), rtol=1e-12
+            )
