@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from s2geo_spark import functions as sf
+from s2geo_spark.operators import spatial
 
 _SIGN = -(1 << 63)
 
@@ -44,10 +45,7 @@ def cells_contain_points(cellsets: DataFrame, points: DataFrame,
     """(set_id, point_id) pairs where the set's union covers the point's
     leaf cell. Equi-join on the quantized ancestor when the set's levels
     are few; generic range-join fallback kept simple here via ancestors."""
-    levels = [
-        int(r["lv"])
-        for r in cellsets.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
-    ]
+    levels = _levels_of(cellsets)
     pts = points.withColumn("leaf", sf.s2_cell_id("lat", "lon"))
     anc = F.array(*[sf.s2_parent("leaf", L) for L in sorted(levels)])
     terms = pts.withColumn("term", F.explode(anc))
@@ -135,10 +133,7 @@ def set_contains_set(
     set against all candidate pairs."""
     b_sizes = b.groupBy(b_id).agg(F.count("*").alias("n_b"))
     # covered (a, b_cell) pairs via ancestor equi-join on A's levels
-    levels = [
-        int(r["lv"])
-        for r in a.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
-    ]
+    levels = _levels_of(a)
     anc = F.filter(
         F.array(*[
             F.when(F.lit(L) <= sf.s2_level_expr("cell"), sf.s2_parent("cell", L))
@@ -183,10 +178,18 @@ def set_union(a: DataFrame, b: DataFrame, set_id: str = "set_id") -> DataFrame:
 
 
 def _levels_of(df: DataFrame) -> list:
-    """Distinct S2 levels present in a cell-set relation (<=31 rows)."""
-    return sorted(
-        int(r["lv"])
-        for r in df.select(sf.s2_level_expr("cell").alias("lv")).distinct().collect()
+    """Distinct S2 levels present in a cell-set relation (<=31 rows);
+    memoized per DataFrame object (spatial.memo_stats) so repeated set
+    operations against the same relation pay the probe job once."""
+    return spatial.memo_stats(
+        df,
+        "levels",
+        lambda: sorted(
+            int(r["lv"])
+            for r in df.select(sf.s2_level_expr("cell").alias("lv"))
+            .distinct()
+            .collect()
+        ),
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from s2geo_spark import functions as sf
+from s2geo_spark.operators import spatial
 from s2geo_spark.kernel import metrics
 from s2geo_spark.operators.cellset import set_intersections
 
@@ -103,8 +104,15 @@ def edge_levels(
         + (F.col("az") - F.col("bz")) ** 2
     )
     lvl = _edge_level_from_chord2(chord2, max_level)
-    return sorted(
-        int(r["lvl"]) for r in e.select(lvl.alias("lvl")).distinct().collect()
+    # memoized per (edges object, column names, max_level): the level set
+    # is a pure function of those, and crossing queries probe it per call
+    return spatial.memo_stats(
+        edges,
+        f"edge_levels:{lat1},{lon1},{lat2},{lon2},{max_level}",
+        lambda: sorted(
+            int(r["lvl"])
+            for r in e.select(lvl.alias("lvl")).distinct().collect()
+        ),
     )
 
 

@@ -524,3 +524,45 @@ class TestFurthestAndClosestCell:
             want = order[:k].tolist()
             sub = got[got["query_id"] == qi]
             assert sub["label"].tolist() == want, (qi, sub["label"].tolist(), want)
+
+
+class TestIndexStatsMemo:
+    """memo_stats: index metadata (levels, size estimates) is computed
+    once per DataFrame object — repeat joins must not re-run the probe
+    job (VERDICT r4 #4)."""
+
+    def test_memo_computes_once(self, spark):
+        df = spark.range(3)
+        calls = {"n": 0}
+
+        def compute():
+            calls["n"] += 1
+            return [4, 5]
+
+        assert spatial.memo_stats(df, "k", compute) == [4, 5]
+        assert spatial.memo_stats(df, "k", compute) == [4, 5]
+        assert calls["n"] == 1
+        # distinct keys are independent
+        assert spatial.memo_stats(df, "k2", lambda: 7) == 7
+        assert df._s2_index_stats == {"k": [4, 5], "k2": 7}
+
+    def test_indexed_join_skips_stats_job_on_reuse(self, spark, points_df):
+        polys = spatial.polygons_to_df(spark, POLYGONS)
+        index_df = spatial.build_index_df(polys).persist()
+        try:
+            first = (
+                spatial.contains_join_indexed(points_df, index_df)
+                .select("point_id", "polygon_id")
+                .collect()
+            )
+            assert "indexed_stats" in index_df._s2_index_stats
+            # poison this object's agg: a second call must not re-probe
+            index_df.agg = None  # type: ignore[method-assign]
+            second = (
+                spatial.contains_join_indexed(points_df, index_df)
+                .select("point_id", "polygon_id")
+                .collect()
+            )
+            assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        finally:
+            index_df.unpersist()
