@@ -89,20 +89,33 @@ def spatial_join_stream(
     return joined.withColumn("tile", sf.tile_assign("cell", tile_level))
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "append",
+    available_now: bool = True,
+) -> None:
     """Drive a stream to completion synchronously (test/local harness).
 
     Aggregations should pass mode="complete" so windows emit without
-    waiting for the watermark to pass them."""
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="1 second")
-        .start()
+    waiting for the watermark to pass them.
+
+    available_now=True (default) uses the availableNow trigger: the query
+    drains every pending micro-batch back-to-back and terminates — wall
+    time measures WORK, not trigger alignment (a processingTime trigger
+    adds up to one interval of idle wait per batch, which dominated the
+    bench at small SF). available_now=False keeps a processingTime
+    trigger for exercising the long-running-query path."""
+    writer = (
+        stream_df.writeStream.outputMode(mode).format("memory").queryName(name)
     )
-    q.processAllAvailable()
-    q.stop()
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime="1 second").start()
+        q.processAllAvailable()
+        q.stop()
 
 
 # ---------------------------------------------------------------------------

@@ -225,14 +225,20 @@ class TestStreaming:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def test_windowed_counts(self, spark):
+    @pytest.mark.parametrize("available_now", [True, False])
+    def test_windowed_counts(self, spark, available_now):
         tmp = tempfile.mkdtemp()
         try:
             pages = pages_src.synth_pages(spark, 1000)
             pages.write.mode("overwrite").parquet(f"{tmp}/pages")
             stream = stream_pipe.stream_pages(spark, f"{tmp}/pages")
             counts = stream_pipe.windowed_tile_counts(stream, tile_level=4)
-            stream_pipe.run_to_memory(counts, "win_counts", mode="complete")
+            # both trigger modes (availableNow drain vs processingTime
+            # long-running) must produce the same totals
+            stream_pipe.run_to_memory(
+                counts, "win_counts", mode="complete",
+                available_now=available_now,
+            )
             got = spark.sql("SELECT sum(pages) AS total FROM win_counts").collect()[0]
             n_geo = (
                 pages_src.extract_geo(spark.read.parquet(f"{tmp}/pages"))
