@@ -448,7 +448,8 @@ def decode_gif(payload: bytes) -> dict:
         ).reshape(size, 3).copy()
         pos += size * 3
     frames = []
-    delay_cs = 0
+    delay_cs = 0  # most recent GCE delay; applies to the NEXT image block
+    frame_delays: list[int] = []
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
@@ -486,9 +487,14 @@ def decode_gif(payload: bytes) -> dict:
         if len(idx) < fw * fh:
             raise ValueError("truncated GIF frame data")
         frames.append(idx[: fw * fh].reshape(fh, fw))
-    fps = 100 // delay_cs if delay_cs > 0 else 10
+        frame_delays.append(delay_cs)
+    # fps from the FIRST frame's delay, as a float (delay 3cs = 33.3 fps,
+    # not 33); per-frame delays exposed so mixed-delay animations are
+    # represented faithfully (ADVICE r4 low)
+    first_delay = next((d for d in frame_delays if d > 0), 0)
+    fps = 100.0 / first_delay if first_delay > 0 else 10.0
     return {"kind": "gif", "width": w, "height": h, "palette": palette,
-            "fps": fps,
+            "fps": fps, "frame_delays_cs": frame_delays,
             "frames": np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)}
 
 
@@ -778,7 +784,7 @@ def sample_frames(
                         fr = frames[src]
                         if palette is not None:
                             fr = palette[fr]  # GIF: render indices to RGB
-                        ts = src * 1000 // max(fps, 1)
+                        ts = int(src * 1000 / max(fps, 1))
                         f32 = fr.astype(np.float32)
                         feat = [
                             float(f32.mean()) / 255.0,

@@ -296,3 +296,43 @@ class TestRealCodecs:
         pal = mm._gif_palette()
         assert bytes(out.iloc[0]["frame"]) == pal[frames[0]].tobytes()
         assert bytes(out.iloc[1]["frame"]) == pal[frames[2]].tobytes()
+
+
+class TestGifFps:
+    """GIF frame-rate derivation: float fps from the FIRST GCE delay, with
+    per-frame delays preserved for mixed-delay animations (ADVICE r4)."""
+
+    def test_fps_is_float_not_truncated(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        frames = np.zeros((2, 4, 4), dtype=np.uint8)
+        dec = mm.decode_gif(mm.encode_gif(frames, delay_cs=3))
+        assert abs(dec["fps"] - 100.0 / 3.0) < 1e-9  # 33.33, not 33
+        assert dec["frame_delays_cs"] == [3, 3]
+
+    def test_mixed_delays_use_first_gce(self):
+        import struct
+
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        frames = np.zeros((2, 4, 4), dtype=np.uint8)
+        g = bytearray(mm.encode_gif(frames, delay_cs=5))
+        # rewrite the SECOND frame's GCE delay to 20cs; fps must still come
+        # from the first (5cs -> 20 fps), and both delays must be reported
+        hits = []
+        i = 0
+        while True:
+            i = g.find(b"\x21\xf9\x04", i)
+            if i < 0:
+                break
+            hits.append(i)
+            i += 1
+        assert len(hits) == 2
+        struct.pack_into("<H", g, hits[1] + 4, 20)
+        dec = mm.decode_gif(bytes(g))
+        assert dec["fps"] == 20.0
+        assert dec["frame_delays_cs"] == [5, 20]
