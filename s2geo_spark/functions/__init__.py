@@ -171,13 +171,18 @@ def h3_kring(cell, k: int, layout: str = "face20") -> Column:
             from s2geo_spark.kernel import h3_dymaxion as _hd
 
             # _u64 handles nullable cell columns (na_value=0), matching
-            # the face20 branch below
-            return pd.Series(
-                [
-                    _hd.k_ring(np.array([v], dtype=np.int64), k).tolist()
-                    for v in _u64(c).view(np.int64)
-                ]
-            )
+            # the face20 branch below. Ring membership depends only on
+            # the cell value, and real columns repeat cells heavily —
+            # dedupe per Arrow batch and compute each distinct ring once
+            # (the dymaxion k_ring pays a beam-search geo_to_h3 plus ~60
+            # probe re-encodes per hop; ADVICE r4 low)
+            vals = _u64(c).view(np.int64)
+            uniq, inv = np.unique(vals, return_inverse=True)
+            rings = [
+                _hd.k_ring(np.array([u], dtype=np.int64), k).tolist()
+                for u in uniq
+            ]
+            return pd.Series([rings[i] for i in inv])
         rings = _h3.k_ring(_u64(c), k).view(np.int64)
         return pd.Series(list(rings))
 
