@@ -3438,6 +3438,28 @@ def q_media_decode(spark, sf_dir):
                      int((pdec2["pixels"][:, :, 0].astype(np.int64)
                           * (1 + px_ + 2 * py_)).sum()))
                 )
+                # PROGRESSIVE + RESTART INTERVALS (9th kind, r5): DRI=1
+                # makes every MCU boundary a restart in EVERY scan — byte
+                # alignment, RSTn modulo sequencing, DC-predictor and
+                # EOB-run resets (T.81 E.2.4) all under the driver gate
+                rbw, rbh = 1 + (n + 2) % 3, 1 + (n + 2) % 2
+                rw_, rh_ = 8 * rbw, 8 * rbh
+                ry_, rx_ = np.meshgrid(
+                    np.arange(rh_), np.arange(rw_), indexing="ij"
+                )
+                rpx = (
+                    (n * 43 + (rx_ // 8) * 19 + (ry_ // 8) * 23) % 256
+                ).astype(np.uint8)
+                rdec = mm.decode_media(
+                    jpeg_ops.encode_jpeg_progressive(
+                        rpx, quality=75, restart_interval=1
+                    )
+                )
+                rows.append(
+                    (n, "jpegpr", rdec["width"], rdec["height"],
+                     int((rdec["pixels"][:, :, 0].astype(np.int64)
+                          * (1 + rx_ + 2 * ry_)).sum()))
+                )
                 # COLOR JPEG (4:4:4, two 8x8 block-constant RGB columns):
                 # exercises the chroma quant table, the interleaved
                 # Y/Cb/Cr MCU order with per-component DC chains, and the
@@ -3584,6 +3606,21 @@ jpp AS (
             AND y.v < 8 * (1 + (n0.n + 1) % 2)) AS wsum
   FROM n0
 ),
+jpr AS (
+  -- progressive JPEG with restart intervals: same quantized-DC closed
+  -- form — restarts reorder NOTHING in the coefficients, they only
+  -- segment the entropy stream
+  SELECT n0.n AS media_id, 'jpegpr' AS kind,
+         8 * (1 + (n0.n + 2) % 3) AS dim1,
+         8 * (1 + (n0.n + 2) % 2) AS dim2,
+         (SELECT SUM(((n0.n*43 + (x.v // 8)*19 + (y.v // 8)*23) % 256)
+                     * (1 + x.v + 2*y.v))
+          FROM generate_series(0, 23) x(v),
+               generate_series(0, 15) y(v)
+          WHERE x.v < 8 * (1 + (n0.n + 2) % 3)
+            AND y.v < 8 * (1 + (n0.n + 2) % 2)) AS wsum
+  FROM n0
+),
 jpc_blk AS (
   -- color JPEG fixture: per (nation, block) constant RGB
   SELECT n0.n AS n, bb.v AS b,
@@ -3643,7 +3680,8 @@ SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
       UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg
-      UNION ALL SELECT * FROM jpp UNION ALL SELECT * FROM jpc) u
+      UNION ALL SELECT * FROM jpp UNION ALL SELECT * FROM jpr
+      UNION ALL SELECT * FROM jpc) u
 """
 
 

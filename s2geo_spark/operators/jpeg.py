@@ -13,8 +13,9 @@ refinement per G.2); progressive is what real web photo pipelines emit.
 
 Same honesty pattern as the PNG/GIF work (operators/multimodal.py):
 arithmetic coding (SOF9+), 12-bit precision, hierarchical modes, and
-progressive streams with restart intervals raise NotImplementedError —
-this decodes the two DCT classes it claims, it does not fake the rest.
+non-interleaved multi-scan sequential streams raise NotImplementedError —
+this decodes the two DCT classes it claims (both WITH restart intervals),
+it does not fake the rest.
 
 Throughput: the DCT/color stages are vectorized NumPy. Huffman entropy
 decode has two paths sharing one semantics: streams WITH restart
@@ -1016,12 +1017,18 @@ _PROG_SCRIPT_COLOR = [
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JFIF encode (grayscale or 4:4:4 color), using the
     standard spectral-selection + successive-approximation scan script.
     Quantized coefficients are identical to encode_jpeg's, only the scan
-    order differs."""
+    order differs. restart_interval > 0 writes DRI + RSTn markers every
+    that many MCUs in every scan (T.81 E.2.4: byte-align, reset DC
+    predictors and the EOB run; the modulo-8 marker counter restarts at
+    each scan)."""
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -1052,6 +1059,8 @@ def encode_jpeg_progressive(
     out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
     if not gray:
         out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
 
     # quantized zigzag coefficients, identical to the sequential encoder
     if gray:
@@ -1079,25 +1088,35 @@ def encode_jpeg_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         out += _segment(0xDA, sos)
         bw = _BitWriter()
+        ri = restart_interval
         if ss == 0:  # DC scan (interleaved over scan comps; all factors 1)
             if ah == 0:
-                _enc_dc_first(bw, comp_zz, comp_idxs, al, enc_dc, mcux * mcuy)
+                _enc_dc_first(
+                    bw, comp_zz, comp_idxs, al, enc_dc, mcux * mcuy, ri
+                )
             else:
-                _enc_dc_refine(bw, comp_zz, comp_idxs, al, mcux * mcuy)
+                _enc_dc_refine(bw, comp_zz, comp_idxs, al, mcux * mcuy, ri)
         else:  # AC scan: exactly one component, non-interleaved
             ci = comp_idxs[0]
             if ah == 0:
-                _enc_ac_first(bw, comp_zz[ci], ss, se, al, enc_ac[ci])
+                _enc_ac_first(bw, comp_zz[ci], ss, se, al, enc_ac[ci], ri)
             else:
-                _enc_ac_refine(bw, comp_zz[ci], ss, se, ah, al, enc_ac[ci])
+                _enc_ac_refine(
+                    bw, comp_zz[ci], ss, se, ah, al, enc_ac[ci], ri
+                )
         out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _enc_dc_first(bw, comp_zz, comp_idxs, al, enc_dc, n_units):
+def _enc_dc_first(bw, comp_zz, comp_idxs, al, enc_dc, n_units, ri=0):
     preds = {ci: 0 for ci in comp_idxs}
+    rst = 0
     for u in range(n_units):
+        if ri and u and u % ri == 0:
+            bw.emit_rst(rst % 8)
+            rst += 1
+            preds = {ci: 0 for ci in comp_idxs}
         for ci in comp_idxs:
             v = int(comp_zz[ci][u, 0]) >> al  # arithmetic shift (T.81 DC)
             diff = v - preds[ci]
@@ -1109,20 +1128,29 @@ def _enc_dc_first(bw, comp_zz, comp_idxs, al, enc_dc, n_units):
                 bw.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
 
 
-def _enc_dc_refine(bw, comp_zz, comp_idxs, al, n_units):
+def _enc_dc_refine(bw, comp_zz, comp_idxs, al, n_units, ri=0):
+    rst = 0
     for u in range(n_units):
+        if ri and u and u % ri == 0:
+            bw.emit_rst(rst % 8)
+            rst += 1
         for ci in comp_idxs:
             bw.write((int(comp_zz[ci][u, 0]) >> al) & 1, 1)
 
 
-def _enc_ac_first(bw, blocks, ss, se, al, actab):
+def _enc_ac_first(bw, blocks, ss, se, al, actab, ri=0):
     """AC first scan. EOB runs are always emitted as single-block EOBs
     (run length 1, symbol 0x00): the standard Annex-K tables carry no
     EOBn symbols with r > 0 (those appear only in custom progressive
     tables), and per-block EOB is equally spec-legal — the decoder's
-    general EOBRUN path handles both."""
+    general EOBRUN path handles both. Per-block EOBs also mean no EOB run
+    can ever span a restart boundary (E.2.4 requires termination there)."""
     nb = se - ss + 1
+    rst = 0
     for u in range(blocks.shape[0]):
+        if ri and u and u % ri == 0:
+            bw.emit_rst(rst % 8)
+            rst += 1
         band = [_trunc_al(int(blocks[u, ss + i]), al) for i in range(nb)]
         nz = [i for i, v in enumerate(band) if v]
         if not nz:
@@ -1150,13 +1178,17 @@ def _enc_ac_first(bw, blocks, ss, se, al, actab):
             bw.write(code, ln)
 
 
-def _enc_ac_refine(bw, blocks, ss, se, ah, al, actab):
+def _enc_ac_refine(bw, blocks, ss, se, ah, al, actab, ri=0):
     """Refinement scan (G.1.2.3): newly-significant coefs are coded as
     (run, 1) + sign; already-significant coefs contribute one correction
     bit each, buffered and emitted after the next Huffman symbol in
     decoder reading order."""
     nb = se - ss + 1
+    rst = 0
     for u in range(blocks.shape[0]):
+        if ri and u and u % ri == 0:
+            bw.emit_rst(rst % 8)
+            rst += 1
         t = [_trunc_al(int(blocks[u, ss + i]), al) for i in range(nb)]
         prev = [_trunc_al(int(blocks[u, ss + i]), ah) for i in range(nb)]
         newly = [i for i in range(nb) if t[i] != 0 and prev[i] == 0]
@@ -1206,9 +1238,11 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
                       restart_interval):
     """Decode one progressive scan into the coefficient accumulators and
     return the stream position of the next marker (T.81 G.2: DC/AC first
-    and refinement passes, EOB runs, correction bits)."""
-    if restart_interval:
-        raise NotImplementedError("progressive JPEG with restart intervals")
+    and refinement passes, EOB runs, correction bits). Restart intervals
+    per T.81 E.2.4: every `restart_interval` MCUs (one block, for a
+    non-interleaved scan) the reader byte-aligns, consumes the RSTn
+    marker (modulo-8 sequence restarting per scan), and resets the DC
+    predictors and the EOB run."""
     if ss == 0 and se != 0:
         # T.81 G.1.1.1.1: a progressive DC scan must have Se == 0 (a
         # baseline stream with its SOF marker flipped lands here)
@@ -1226,12 +1260,19 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
         chh = (h * c["v"] + vmax - 1) // vmax
         return (chh + 7) // 8, (cw + 7) // 8
 
+    ri = restart_interval
+    rst = 0
     try:
         if ss == 0 and ah == 0:  # DC first
             preds = {s["ci"]: 0 for s in scan}
             if len(scan) > 1:  # interleaved MCU order
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        mcu = my * mcux + mx
+                        if ri and mcu and mcu % ri == 0:
+                            reader.restart(rst % 8)
+                            rst += 1
+                            preds = {s["ci"]: 0 for s in scan}
                         for s in scan:
                             c = s["comp"]
                             for dy in range(c["v"]):
@@ -1249,6 +1290,11 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
                 pred = 0
                 for byi in range(bh):
                     for bxi in range(bw_):
+                        unit = byi * bw_ + bxi
+                        if ri and unit and unit % ri == 0:
+                            reader.restart(rst % 8)
+                            rst += 1
+                            pred = 0
                         t = _decode_symbol(reader, s["dc"])
                         pred += _extend(reader.read_bits(t), t)
                         u = byi * (mcux * c["h"]) + bxi
@@ -1257,6 +1303,10 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
             if len(scan) > 1:
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        mcu = my * mcux + mx
+                        if ri and mcu and mcu % ri == 0:
+                            reader.restart(rst % 8)
+                            rst += 1
                         for s in scan:
                             c = s["comp"]
                             for dy in range(c["v"]):
@@ -1271,6 +1321,10 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
                 bh, bw_ = nc_grid(c)
                 for byi in range(bh):
                     for bxi in range(bw_):
+                        unit = byi * bw_ + bxi
+                        if ri and unit and unit % ri == 0:
+                            reader.restart(rst % 8)
+                            rst += 1
                         u = byi * (mcux * c["h"]) + bxi
                         if reader.read_bit():
                             prog_zz[s["ci"]][u, 0] |= 1 << al
@@ -1286,6 +1340,11 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
             if ah == 0:  # AC first scan
                 for byi in range(bh):
                     for bxi in range(bw_):
+                        unit = byi * bw_ + bxi
+                        if ri and unit and unit % ri == 0:
+                            reader.restart(rst % 8)
+                            rst += 1
+                            eobrun = 0
                         u = byi * stride + bxi
                         if eobrun:
                             eobrun -= 1
@@ -1311,6 +1370,11 @@ def _decode_prog_scan(data, pos, frame, scan, prog_zz, ss, se, ah, al,
                 p1, m1 = 1 << al, -(1 << al)
                 for byi in range(bh):
                     for bxi in range(bw_):
+                        unit = byi * bw_ + bxi
+                        if ri and unit and unit % ri == 0:
+                            reader.restart(rst % 8)
+                            rst += 1
+                            eobrun = 0
                         u = byi * stride + bxi
                         k = ss
                         if eobrun == 0:

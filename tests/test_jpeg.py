@@ -319,14 +319,39 @@ class TestProgressive:
         assert dec.shape == (8, 32, 1)
         assert np.all(dec == 128)
 
-    def test_progressive_with_dri_raises(self):
-        px = np.zeros((8, 8), dtype=np.uint8)
+    def test_progressive_with_dri_decodes(self):
+        # progressive + restart intervals (T.81 E.2.4): RST markers in
+        # every scan, DC predictors and EOB runs reset at each boundary;
+        # output must equal the baseline decode of the same image
+        rng = np.random.default_rng(77)
+        for px, dri in [
+            (rng.integers(0, 256, (41, 33), dtype=np.uint8), 3),
+            (rng.integers(0, 256, (24, 24, 3), dtype=np.uint8), 2),
+        ]:
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75))
+            prog = jpeg.decode_jpeg(
+                jpeg.encode_jpeg_progressive(px, quality=75,
+                                             restart_interval=dri)
+            )
+            assert np.array_equal(base, prog)
+        # the progressive stream must actually carry RST markers
+        payload = jpeg.encode_jpeg_progressive(
+            rng.integers(0, 256, (32, 32), dtype=np.uint8),
+            restart_interval=2,
+        )
+        assert any(
+            payload.find(bytes([0xFF, 0xD0 + i])) >= 0 for i in range(8)
+        )
+
+    def test_progressive_dri_without_rst_markers_rejected(self):
+        # a DRI header promising restarts that never appear is corrupt:
+        # the reader must fail loudly, not decode garbage
+        px = np.zeros((24, 24), dtype=np.uint8)
         b = bytearray(jpeg.encode_jpeg_progressive(px))
-        # splice a DRI segment right before the first SOS
         i = b.index(b"\xff\xda")
         dri = jpeg._segment(0xDD, struct.pack(">H", 2))
         b2 = bytes(b[:i]) + dri + bytes(b[i:])
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             jpeg.decode_jpeg(b2)
 
 
