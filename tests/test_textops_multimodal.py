@@ -336,3 +336,106 @@ class TestGifFps:
         dec = mm.decode_gif(bytes(g))
         assert dec["fps"] == 20.0
         assert dec["frame_delays_cs"] == [5, 20]
+
+
+class TestH264Meta:
+    """Header-level H.264: real SPS dims (with cropping), VUI frame rate,
+    picture count from slice headers — while slice decode raises."""
+
+    @staticmethod
+    def _build_stream(n_pics=3):
+        # hand-assembled Annex-B stream (ITU-T H.264 7.3.2.1.1)
+        class BW:
+            def __init__(self):
+                self.bits = []
+
+            def u(self, v, n):
+                for i in range(n - 1, -1, -1):
+                    self.bits.append((v >> i) & 1)
+
+            def ue(self, v):
+                k = v + 1
+                nbits = k.bit_length()
+                self.u(0, nbits - 1)
+                self.u(k, nbits)
+
+            def bytes_(self):
+                bits = self.bits + [1]  # rbsp_stop_one_bit
+                while len(bits) % 8:
+                    bits.append(0)
+                out = bytearray()
+                for i in range(0, len(bits), 8):
+                    b = 0
+                    for bit in bits[i : i + 8]:
+                        b = (b << 1) | bit
+                    out.append(b)
+                return bytes(out)
+
+        def ep(rbsp):  # emulation prevention: 00 00 0x -> 00 00 03 0x
+            out = bytearray()
+            zeros = 0
+            for b in rbsp:
+                if zeros >= 2 and b <= 3:
+                    out.append(3)
+                    zeros = 0
+                out.append(b)
+                zeros = zeros + 1 if b == 0 else 0
+            return bytes(out)
+
+        w = BW()
+        w.u(66, 8)   # profile_idc: baseline
+        w.u(0, 8)    # constraint flags
+        w.u(30, 8)   # level_idc
+        w.ue(0)      # sps_id
+        w.ue(0)      # log2_max_frame_num_minus4
+        w.ue(0)      # pic_order_cnt_type = 0
+        w.ue(0)      # log2_max_pic_order_cnt_lsb_minus4
+        w.ue(1)      # max_num_ref_frames
+        w.u(0, 1)    # gaps_in_frame_num
+        w.ue(6)      # pic_width_in_mbs_minus1 -> 112 px
+        w.ue(5)      # pic_height_in_map_units_minus1 -> 96 px
+        w.u(1, 1)    # frame_mbs_only_flag
+        w.u(1, 1)    # direct_8x8_inference
+        w.u(1, 1)    # frame_cropping_flag
+        w.ue(0); w.ue(6); w.ue(0); w.ue(3)  # crop -> 100 x 90
+        w.u(1, 1)    # vui_parameters_present
+        w.u(0, 1)    # aspect_ratio_info_present
+        w.u(0, 1)    # overscan_info_present
+        w.u(0, 1)    # video_signal_type_present
+        w.u(0, 1)    # chroma_loc_info_present
+        w.u(1, 1)    # timing_info_present
+        w.u(1001, 32)   # num_units_in_tick (carries 00 00 03 pattern)
+        w.u(60000, 32)  # time_scale -> 29.97 fps
+        w.u(1, 1)    # fixed_frame_rate
+        sps = b"\x00\x00\x00\x01" + b"\x67" + ep(w.bytes_())
+        slices = b""
+        for _ in range(n_pics):
+            sw = BW()
+            sw.ue(0)  # first_mb_in_slice = 0 -> new picture
+            slices += b"\x00\x00\x01" + b"\x65" + ep(sw.bytes_())
+        return sps + slices
+
+    def test_sps_dims_fps_frames(self):
+        from s2geo_spark.operators import multimodal as mm
+
+        meta = mm.parse_h264_meta(self._build_stream())
+        assert meta["width"] == 100 and meta["height"] == 90
+        assert abs(meta["fps"] - 60000 / 2002) < 1e-9  # 29.97
+        assert meta["n_frames"] == 3
+        assert meta["profile_idc"] == 66
+
+    def test_decode_still_raises_meta_flows(self, spark):
+        import pytest as _pytest
+
+        from s2geo_spark.operators import multimodal as mm
+
+        stream = self._build_stream(n_pics=2)
+        assert mm._sniff_format(stream[:16]) == "h264"
+        with _pytest.raises(NotImplementedError):
+            mm.decode_media(stream)
+        df = spark.createDataFrame(
+            [("v", bytearray(stream))], "key string, payload binary"
+        )
+        row = mm.extract_media_meta(df, "key", "payload").collect()[0]
+        assert row["format"] == "h264"
+        assert row["width"] == 100 and row["height"] == 90
