@@ -213,6 +213,26 @@ def run_bench() -> dict:
     }
 
 
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line — host CPU stolen from this VM is visible here, so every timing
+    window can carry its measured steal% (VERDICT r4 #6: the ceiling
+    normalization should be self-evidencing, not asserted)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals[:8])
+    except Exception:
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else 0.0
+
+
 def run_pipeline_only() -> dict:
     sf = _sf_from_dir(SF_DIR)
     n_pages = _pages_n(sf)
@@ -221,20 +241,25 @@ def run_pipeline_only() -> dict:
     # steady-state measurement: first full run spawns+imports the Python
     # worker pool (a per-executor one-time cost on a real cluster); then
     # best-of-3 — this VM shows bursty host CPU steal, so the minimum is
-    # the sustained-throughput estimate
+    # the sustained-throughput estimate; per-run steal% is recorded so
+    # the window's honesty is checkable after the fact
     pages_pipeline(spark, n_pages)
     secs = []
+    steals = []
     joined = 0
     for _ in range(3):
+        s0 = _steal_snapshot()
         t0 = time.perf_counter()
         joined = pages_pipeline(spark, n_pages)
         secs.append(time.perf_counter() - t0)
+        steals.append(_steal_pct(s0, _steal_snapshot()))
     sec = min(secs)
     return {
         "cpus": CPUS,
         "pages_n": n_pages,
         "sec": round(sec, 3),
         "all_runs_sec": [round(s, 3) for s in secs],
+        "steal_pct_per_run": steals,
         "pages_per_sec": round(n_pages / sec, 1),
         "pages_joined": int(joined),
     }
@@ -252,12 +277,15 @@ def _jvm_ceiling(cpus: int) -> float:
     agg = df.agg(F.sum(F.xxhash64("id") % 1000))
     agg.collect()
     best = float("inf")
+    steals = []
     for _ in range(2):
+        s0 = _steal_snapshot()
         t0 = time.perf_counter()
         agg.collect()
         best = min(best, time.perf_counter() - t0)
+        steals.append(_steal_pct(s0, _steal_snapshot()))
     spark.stop()
-    return best
+    return best, steals
 
 
 def run_scaling() -> None:
@@ -292,8 +320,8 @@ def run_scaling() -> None:
     r8, r32 = results
     eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0
     # host ceiling calibration: same ratio for an ideal pure-JVM workload
-    c8 = _jvm_ceiling(8)
-    c32 = _jvm_ceiling(32)
+    c8, c8_steal = _jvm_ceiling(8)
+    c32, c32_steal = _jvm_ceiling(32)
     ceiling = (c8 / c32) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -303,15 +331,16 @@ def run_scaling() -> None:
             f"""
 ## Scaling run {stamp} UTC — pages pipeline (scan -> geo extract -> S2 encode -> PIP join -> tile rollup)
 
-| parallelism | pages | wall (s, best of 3) | pages/sec |
-|---|---|---|---|
-| local[8]  (N)  | {r8['pages_n']} | {r8['sec']} | {r8['pages_per_sec']} |
-| local[32] (4N) | {r32['pages_n']} | {r32['sec']} | {r32['pages_per_sec']} |
+| parallelism | pages | wall (s, best of 3) | pages/sec | steal% per run |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8['pages_n']} | {r8['sec']} | {r8['pages_per_sec']} | {r8.get('steal_pct_per_run')} |
+| local[32] (4N) | {r32['pages_n']} | {r32['sec']} | {r32['pages_per_sec']} | {r32.get('steal_pct_per_run')} |
 
 - throughput scaling efficiency N->4N: **{eff:.3f}** (target >= 0.8, BASELINE.json north_rule)
 - host ceiling (pure-JVM hash-agg, same N->4N): **{ceiling:.3f}** — this VM
   shows bursty CPU steal; even ideal embarrassingly-parallel JVM code does
   not reach 1.0 here. Ceiling-normalized pipeline efficiency: **{min(eff / ceiling, 1.0):.3f}**
+- measured /proc/stat steal% during ceiling runs: N={c8_steal} 4N={c32_steal}
 - joined rows identical across parallelism levels: {r8['pages_joined'] == r32['pages_joined']} ({r32['pages_joined']})
 - per-run walls: N={r8['all_runs_sec']} 4N={r32['all_runs_sec']}
 """
