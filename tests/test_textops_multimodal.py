@@ -439,3 +439,49 @@ class TestH264Meta:
         row = mm.extract_media_meta(df, "key", "payload").collect()[0]
         assert row["format"] == "h264"
         assert row["width"] == 100 and row["height"] == 90
+
+
+class TestMp3Meta:
+    """MP3 header walk: real rate/bitrate/channels/frame-count/duration
+    from ISO 11172-3 frame headers; audio decode raises."""
+
+    @staticmethod
+    def _frame(kbps_idx=9, sr_idx=0, padding=0, mode=3):
+        # MPEG1 Layer III: FF FB (sync + version 3 + layer 1 + no CRC)
+        h2 = (kbps_idx << 4) | (sr_idx << 2) | (padding << 1)
+        h3 = mode << 6
+        head = bytes([0xFF, 0xFB, h2, h3])
+        kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320, 0][kbps_idx]
+        rate = [44100, 48000, 32000][sr_idx]
+        ln = 1152 // 8 * kbps * 1000 // rate + padding
+        return head + b"\x00" * (ln - 4)
+
+    def test_frame_walk(self):
+        from s2geo_spark.operators import multimodal as mm
+
+        stream = self._frame() * 5  # 5 frames, 128 kbps, 44.1 kHz, mono
+        meta = mm.parse_mp3_meta(stream)
+        assert meta["rate"] == 44100 and meta["kbps"] == 128
+        assert meta["channels"] == 1 and meta["n_frames"] == 5
+        assert abs(meta["duration_sec"] - 5 * 1152 / 44100) < 1e-9
+
+    def test_id3_skip_and_decode_raises(self, spark):
+        import pytest as _pytest
+
+        from s2geo_spark.operators import multimodal as mm
+
+        body = self._frame(mode=0) * 3  # stereo
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 7]) + b"PAYLOAD"
+        stream = tag + body
+        assert mm._sniff_format(stream[:16]) == "mp3"
+        meta = mm.parse_mp3_meta(stream)
+        assert meta["channels"] == 2 and meta["n_frames"] == 3
+        with _pytest.raises(NotImplementedError):
+            mm.decode_media(body)
+        df = spark.createDataFrame(
+            [("a", bytearray(stream))], "key string, payload binary"
+        )
+        row = mm.extract_media_meta(df, "key", "payload").collect()[0]
+        assert row["format"] == "mp3"
+        assert row["width"] == 3 and row["height"] == 2
