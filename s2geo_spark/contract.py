@@ -2747,18 +2747,38 @@ JACCARD_BCAST_LIMIT = 256 << 20
 
 
 def _jaccard_build(spark, sf_dir):
-    """Lazy build of the size-gated expansion join. Returns (inter, sizes,
-    sh, pairs); sh/pairs come back persisted and the caller must release
-    them once materialized — q_jaccard_pairs does via the checkpoint-then-
-    unpersist pattern; the gate tests use this handle to plan-assert."""
-    # sh feeds sizes, signatures, and both sides of the intersection join —
-    # cache it or the explode+distinct runs four times
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sig = sh.groupBy("doc_id").agg(
-        F.min("g").alias("mh1"),
-        F.min("g2").alias("mh2"),
+    """Lazy build of the candidate-verify plan. Returns (inter, sizes,
+    stats, pairs); stats/pairs come back persisted and the caller must
+    release them once materialized — q_jaccard_pairs does via the
+    checkpoint-then-unpersist pattern; the gate tests use this handle to
+    plan-assert.
+
+    Plan (r5 — replaces the pair x shingle expansion join, which pushed
+    |pairs| * avg_shingles rows (~80M at sf0.1) through a join): ONE
+    aggregation over the shingle stream yields per-doc size, both minhash
+    bands, AND the sorted shingle array; LSH band self-joins propose
+    candidate pairs; each pair then joins to its two ~KB arrays
+    (SIZE-GATED broadcast — VERDICT r2 wrong-#2: an unconditional hint
+    OOMs executors at real scale; past the gate both array attaches
+    become shuffle joins keyed on the doc ids, AQE handles skew) and an
+    Arrow-batched mapInPandas counts the intersection per pair. Shuffled
+    bytes scale with docs + pairs, not pairs x shingles. n_inter keeps
+    the equi-join multiset semantics (sum over g of cntA(g)*cntB(g)) the
+    DuckDB oracle computes, so even a 60-bit in-doc hash collision would
+    hash-match."""
+    sh = _shingles(spark, sf_dir)
+    stats = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("g").alias("mh1"),
+            F.min("g2").alias("mh2"),
+            F.array_sort(F.collect_list("g")).alias("gs"),
+        )
+        .persist()
     )
+    sizes = stats.select("doc_id", "n")
+    sig = stats.select("doc_id", "mh1", "mh2")
     pairs = None
     for band in ("mh1", "mh2"):
         a = sig.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
@@ -2767,32 +2787,47 @@ def _jaccard_build(spark, sf_dir):
             "doc_a", "doc_b"
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    # SIZE-GATED broadcasts (VERDICT r2 wrong-#2: an unconditional hint
-    # bypasses the threshold and OOMs executors at real scale). When both
-    # sides fit, both joins stay map-side: the per-pair expansion is probed
-    # where it is produced and only the partial-agg output shuffles. Past
-    # the gate, the hint is dropped and the expansion join becomes a
-    # shuffle hash join keyed on (g, doc_b) — i.e. the expanded rows are
-    # repartitioned by exactly the keys the probe needs; AQE handles skew.
     pairs = pairs.distinct().persist()
-    n_pairs = pairs.count()
-    n_sh = sh.count()  # also materializes the shared shingle cache
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
-    pairs_side = (
-        F.broadcast(pairs) if n_pairs * 16 <= JACCARD_BCAST_LIMIT else pairs
+    pairs.count()  # materialize pairs (and stats) once
+    n_sh = int(sizes.agg(F.sum("n")).collect()[0][0] or 0)
+    aa = stats.select(
+        F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")
     )
-    sb_side = F.broadcast(sb) if n_sh * 24 <= JACCARD_BCAST_LIMIT else sb
-    inter = (
-        pairs_side.join(sa, "doc_a")
-        .join(
-            sb_side,
-            (F.col("gb") == F.col("ga")) & (sb["doc_b"] == pairs["doc_b"]),
-        )
-        .groupBy(pairs["doc_a"], pairs["doc_b"])
-        .agg(F.count("*").alias("n_inter"))
+    ab = stats.select(
+        F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")
     )
-    return inter, sizes, sh, pairs
+    if n_sh * 16 <= JACCARD_BCAST_LIMIT:
+        aa, ab = F.broadcast(aa), F.broadcast(ab)
+    cand = pairs.join(aa, "doc_a").join(ab, "doc_b")
+
+    def isect(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            ns = []
+            for ga, gb in zip(pdf["gs_a"], pdf["gs_b"]):
+                ua, ca = _np.unique(
+                    _np.asarray(ga, dtype=_np.int64), return_counts=True
+                )
+                ub, cb = _np.unique(
+                    _np.asarray(gb, dtype=_np.int64), return_counts=True
+                )
+                _, ia, ib = _np.intersect1d(
+                    ua, ub, assume_unique=True, return_indices=True
+                )
+                ns.append(int((ca[ia] * cb[ib]).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "n_inter": np.asarray(ns, dtype=np.int64),
+                }
+            )
+
+    inter = cand.mapInPandas(
+        isect, "doc_a long, doc_b long, n_inter long"
+    ).filter(F.col("n_inter") > 0)
+    return inter, sizes, stats, pairs
 
 
 def q_jaccard_pairs(spark, sf_dir):
