@@ -3720,6 +3720,84 @@ FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
 """
 
 
+def q_media_meta(spark, sf_dir):
+    """Header-level metadata for the two codecs whose payload decode
+    honestly raises (r5): per nation, a spec-valid H.264 Annex-B header
+    stream (SPS with cropping + VUI timing + IDR slice headers) and an
+    MPEG-1 Layer III header stream are BUILT with the real header
+    writers, then parsed back through extract_media_meta — NAL split,
+    emulation-prevention unescape, Exp-Golomb SPS fields, crop
+    arithmetic, VUI fps, slice counting, and the MP3 frame-length walk
+    all under the driver gate. The oracle recomputes dims / frame counts
+    / rates from the same arithmetic without touching bytes."""
+    from s2geo_spark.operators import multimodal as mm
+
+    lines = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            keys, payloads = [], []
+            for v in pdf["media_id"]:
+                n = int(v)
+                w = 2 * (40 + (n * 7) % 17)
+                h = 2 * (24 + (n * 5) % 13)
+                keys.append(f"{n}:h264")
+                payloads.append(
+                    mm.encode_h264_headers(w, h, 1 + n % 4, 24 + n % 6, 1)
+                )
+                keys.append(f"{n}:mp3")
+                payloads.append(
+                    mm.encode_mp3_headers(
+                        2 + n % 6,
+                        kbps=[64, 96, 128, 160][n % 4],
+                        rate=44100,
+                        stereo=bool(n % 2),
+                    )
+                )
+            yield pd.DataFrame({"key": keys, "payload": payloads})
+
+    media = lines.mapInPandas(build, "key string, payload binary")
+    meta = mm.extract_media_meta(media, "key", "payload")
+    is264 = F.col("format") == "h264"
+    return meta.select(
+        F.split("key", ":")[0].cast("long").alias("media_id"),
+        F.col("format").alias("kind"),
+        F.col("width").cast("long").alias("w"),
+        F.col("height").cast("long").alias("h"),
+        F.when(is264, F.round(F.element_at("feature", 3) * 16))
+        .otherwise(F.round(F.element_at("feature", 5) * 1000))
+        .cast("long")
+        .alias("frames"),
+        # h264: fps from VUI timing; mp3: bitrate kbps
+        F.when(is264, F.round(F.element_at("feature", 4) * 100))
+        .otherwise(F.round(F.element_at("feature", 3) * 320))
+        .cast("long")
+        .alias("rate_info"),
+    )
+
+
+def o_media_meta():
+    return """
+WITH n0 AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation)
+SELECT n AS media_id, 'h264' AS kind,
+       CAST(2*(40 + (n*7) % 17) AS BIGINT) AS w,
+       CAST(2*(24 + (n*5) % 13) AS BIGINT) AS h,
+       CAST(1 + n % 4 AS BIGINT) AS frames,
+       CAST(24 + n % 6 AS BIGINT) AS rate_info
+FROM n0
+UNION ALL
+SELECT n, 'mp3',
+       CAST(2 + n % 6 AS BIGINT),
+       CAST(1 + n % 2 AS BIGINT),
+       CAST(2 + n % 6 AS BIGINT),
+       CAST(CASE n % 4 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+            ELSE 160 END AS BIGINT)
+FROM n0
+"""
+
+
 _IVF_LISTS = 16
 _IVF_NPROBE = 4
 _IVF_K = 5
@@ -3924,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash8": q_simhash8,
         "media_bytes": q_media_bytes,
         "media_decode": q_media_decode,
+        "media_meta": q_media_meta,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
@@ -3984,6 +4063,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash8": o_simhash8(),
         "media_bytes": o_media_bytes(),
         "media_decode": o_media_decode(),
+        "media_meta": o_media_meta(),
         "dedup_exact": o_dedup_exact(),
         "dedup_minhash": o_minhash(),
         "dedup_lsh_pairs": o_lsh_pairs(),

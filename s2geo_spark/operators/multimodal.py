@@ -85,6 +85,130 @@ def _sniff_format(head: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
+class _ExpGolombWriter:
+    """MSB-first bit writer with Exp-Golomb fields (the inverse of
+    _ExpGolombReader); rbsp() appends the stop bit + alignment zeros and
+    applies emulation prevention (00 00 0x -> 00 00 03 0x)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        nbits = k.bit_length()
+        self.u(0, nbits - 1)
+        self.u(k, nbits)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def encode_h264_headers(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps_num: int | None = None,
+    fps_den: int | None = None,
+) -> bytes:
+    """Spec-valid H.264 Annex-B HEADER stream: a baseline SPS (with
+    frame cropping when dims are not MB multiples, VUI timing when fps
+    given) plus n_frames IDR slice headers (first_mb_in_slice = 0). The
+    stream carries NO coded picture data — it exists so metadata
+    pipelines (parse_h264_meta / extract_media_meta) have real headers
+    to parse; decode_media raises on it like on any H.264 payload."""
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise ValueError("H.264 4:2:0 dims must be positive and even")
+    mbs_x = (width + 15) // 16
+    mbs_y = (height + 15) // 16
+    crop_r = (mbs_x * 16 - width) // 2  # CropUnitX = 2 (4:2:0)
+    crop_b = (mbs_y * 16 - height) // 2  # CropUnitY = 2 (frame_mbs_only)
+    w = _ExpGolombWriter()
+    w.u(66, 8)  # profile_idc: baseline
+    w.u(0, 8)
+    w.u(30, 8)  # level_idc
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num
+    w.ue(mbs_x - 1)
+    w.ue(mbs_y - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8_inference
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    if fps_num and fps_den:
+        w.u(1, 1)  # vui_parameters_present
+        w.u(0, 4)  # aspect/overscan/signal/chroma_loc flags off
+        w.u(1, 1)  # timing_info_present
+        w.u(fps_den, 32)  # num_units_in_tick
+        w.u(2 * fps_num, 32)  # time_scale (fps = ts / (2 * nuit))
+        w.u(1, 1)  # fixed_frame_rate
+    else:
+        w.u(0, 1)
+    out = b"\x00\x00\x00\x01" + b"\x67" + w.rbsp()
+    for _ in range(n_frames):
+        sw = _ExpGolombWriter()
+        sw.ue(0)  # first_mb_in_slice: new picture
+        out += b"\x00\x00\x01" + b"\x65" + sw.rbsp()
+    return out
+
+
+# MPEG audio (MP3) header tables — ISO 11172-3 / 13818-3, public spec.
+# Indexed [version][layer]: bitrate kbps by the 4-bit index (0 = free).
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                       224, 256, 320, 0]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                       144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # version bits -> sample rates
+_MP3_KBPS_IDX = {v: i for i, v in enumerate(_MP3_BITRATES_V1_L3) if v}
+
+
+def encode_mp3_headers(
+    n_frames: int, kbps: int = 128, rate: int = 44100, stereo: bool = False
+) -> bytes:
+    """Spec-valid MPEG-1 Layer III HEADER stream: n_frames frames with
+    correct per-frame lengths and zeroed audio payload. Exists so the
+    metadata walk (parse_mp3_meta) has real headers; decode raises."""
+    sr_map = {44100: 0, 48000: 1, 32000: 2}
+    if rate not in sr_map or kbps not in _MP3_KBPS_IDX:
+        raise ValueError(f"unsupported MP3 rate {rate} / bitrate {kbps}")
+    h2 = (_MP3_KBPS_IDX[kbps] << 4) | (sr_map[rate] << 2)
+    h3 = (0 if stereo else 3) << 6
+    frame_len = 1152 // 8 * kbps * 1000 // rate
+    frame = bytes([0xFF, 0xFB, h2, h3]) + b"\x00" * (frame_len - 4)
+    return frame * n_frames
+
+
 class _ExpGolombReader:
     """MSB-first bit reader with Exp-Golomb (ue/se) fields, over an RBSP
     (emulation-prevention bytes already stripped)."""
@@ -246,16 +370,6 @@ def parse_h264_meta(payload: bytes) -> dict:
         "n_frames": n_pictures,
         "profile_idc": profile_idc,
     }
-
-
-# MPEG audio (MP3) header tables — ISO 11172-3 / 13818-3, public spec.
-# Indexed [version][layer]: bitrate kbps by the 4-bit index (0 = free).
-_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-                       224, 256, 320, 0]
-_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-                       144, 160, 0]
-_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
-              0: [11025, 12000, 8000]}  # version bits -> sample rates
 
 
 def parse_mp3_meta(payload: bytes) -> dict:
