@@ -732,15 +732,6 @@ def _window64(mat: np.ndarray) -> np.ndarray:
     return (a[:, :-1] << np.uint64(32)) | a[:, 1:]
 
 
-def _extend_vec(v, n):
-    """Vectorized T.81 F.12 EXTEND (n == 0 -> 0)."""
-    n1 = np.maximum(n, 1).astype(np.int64)
-    half = np.int64(1) << (n1 - 1)
-    full = np.int64(1) << n1
-    out = np.where(v < half, v - full + 1, v)
-    return np.where(n == 0, 0, out)
-
-
 def _decode_scan_vec(data, pos, frame, scan, qtabs, restart_interval):
     """Lane-parallel baseline scan decode: one NumPy lane per restart
     interval, stepping all lanes through the shared MCU/block structure in
