@@ -775,19 +775,36 @@ def _gif_palette() -> np.ndarray:
     return np.stack([i % 256, (i * 2) % 256, (i * 3) % 256], axis=1).astype(np.uint8)
 
 
-def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row transmission order for interlaced GIF frames (GIF89a spec
+    Appendix E): four passes — rows 0,8,16…, then 4,12,20…, then
+    2,6,10…, then the odd rows."""
+    return np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+
+
+def encode_gif(
+    frames: np.ndarray, delay_cs: int = 4, interlace: bool = False
+) -> bytes:
     """GIF89a with the arithmetic global palette and REAL LZW-compressed
-    frames (index planes). frames: (n, h, w) uint8 palette indices."""
+    frames (index planes). frames: (n, h, w) uint8 palette indices.
+    interlace=True writes each frame's rows in the spec's four-pass
+    order with the image-descriptor interlace flag set."""
     f = np.asarray(frames, dtype=np.uint8)
     n, h, w = f.shape
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
     out += _gif_palette().tobytes()
+    iflags = 0x40 if interlace else 0x00
+    order = _gif_interlace_order(h) if interlace else None
     for k in range(n):
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
         out.append(8)  # LZW min code size
-        comp = _lzw_compress(f[k].ravel(), 8)
+        plane = f[k][order] if interlace else f[k]
+        comp = _lzw_compress(plane.ravel(), 8)
         for i in range(0, len(comp), 255):
             block = comp[i : i + 255]
             out.append(len(block))
@@ -798,9 +815,9 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
 
 
 def decode_gif(payload: bytes) -> dict:
-    """GIF87a/89a decode: global palette, non-interlaced frames, real LZW
-    decompression. Returns frames as palette indices plus the palette
-    (RGB rendering = palette[indices])."""
+    """GIF87a/89a decode: global palette, interlaced or sequential
+    frames, real LZW decompression. Returns frames as palette indices
+    plus the palette (RGB rendering = palette[indices])."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -835,8 +852,6 @@ def decode_gif(payload: bytes) -> dict:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
         fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF")
         if iflags & 0x80:
             lsize = 2 << (iflags & 7)
             pos += lsize * 3  # local palette (unused by our writer)
@@ -852,7 +867,14 @@ def decode_gif(payload: bytes) -> dict:
         idx = _lzw_decompress(bytes(comp), mcs)
         if len(idx) < fw * fh:
             raise ValueError("truncated GIF frame data")
-        frames.append(idx[: fw * fh].reshape(fh, fw))
+        plane = idx[: fw * fh].reshape(fh, fw)
+        if iflags & 0x40:
+            # interlaced: rows arrived in four-pass order; scatter them
+            # back to their true positions (inverse permutation)
+            out_plane = np.empty_like(plane)
+            out_plane[_gif_interlace_order(fh)] = plane
+            plane = out_plane
+        frames.append(plane)
         frame_delays.append(delay_cs)
     # fps from the FIRST frame's delay, as a float (delay 3cs = 33.3 fps,
     # not 33); per-frame delays exposed so mixed-delay animations are

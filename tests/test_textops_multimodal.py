@@ -338,6 +338,47 @@ class TestGifFps:
         assert dec["frame_delays_cs"] == [5, 20]
 
 
+class TestGifInterlace:
+    """Interlaced GIF frames (GIF89a Appendix E four-pass row order):
+    encode writes rows in pass order with the descriptor flag set, decode
+    scatters them back — round trips must be bit-exact for any height."""
+
+    def test_interlace_order_is_a_permutation(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        for h in range(1, 40):
+            order = mm._gif_interlace_order(h)
+            assert sorted(order.tolist()) == list(range(h))
+
+    def test_interlaced_round_trip(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(31)
+        # heights chosen to hit empty passes (h<5 leaves pass 2 empty, etc.)
+        for h in (1, 2, 3, 4, 5, 8, 9, 16, 17):
+            frames = rng.integers(0, 256, (2, h, 7)).astype(np.uint8)
+            g = mm.encode_gif(frames, interlace=True)
+            dec = mm.decode_gif(g)
+            assert np.array_equal(dec["frames"], frames), h
+
+    def test_interlaced_differs_on_wire_matches_decoded(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(37)
+        frames = rng.integers(0, 256, (1, 16, 6)).astype(np.uint8)
+        seq = mm.encode_gif(frames)
+        ilc = mm.encode_gif(frames, interlace=True)
+        assert seq != ilc  # wire bytes differ (row order + flag)
+        assert np.array_equal(mm.decode_gif(seq)["frames"],
+                              mm.decode_gif(ilc)["frames"])
+
+
 class TestH264Meta:
     """Header-level H.264: real SPS dims (with cropping), VUI frame rate,
     picture count from slice headers — while slice decode raises."""
