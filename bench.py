@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "media_decode",
     "dedup_minhash",
     "dedup_jaccard_pairs",
+    "dedup_clusters",
     "text_fingerprint",
     "events_windowed",
     "embedding_topk",

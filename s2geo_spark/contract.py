@@ -2885,6 +2885,77 @@ JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: transitive closure of the minhash
+    band-1 candidate graph (q_lsh_pairs' edges), each doc labelled with
+    the min doc_id of its component plus the component size.
+
+    The closure runs as distributed alternating large-star/small-star
+    rounds (operators/dedup.py) — the published O(log^2 n)-round
+    MapReduce CC algorithm — so at 100 TB the edge set never leaves the
+    cluster; the driver sees only a per-round (count, checksum) pair.
+    Isolated docs (no candidate partner) are their own cluster of 1.
+
+    Scale note: the edge set is NOT the pair expansion q_lsh_pairs
+    materializes — a band bucket of b docs is a clique of b(b-1)/2
+    candidate pairs (7.4M at sf0.1, quadratic in duplicate-cluster
+    size), but for CONNECTIVITY a star from each doc to the bucket's
+    min doc is equivalent and linear. Components over the stars equal
+    components over the cliques, so the oracle's closure over the full
+    pair graph still matches bit-for-bit."""
+    from .operators.dedup import connected_components
+
+    docs = _tw(spark, sf_dir, "documents")
+    sig = q_minhash(spark, sf_dir).select("doc_id", "mh1")
+    reps = sig.groupBy("mh1").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        sig.join(reps, "mh1")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select("doc_id", "rep")
+    )
+    labels = connected_components(
+        edges, src="doc_id", dst="rep", nodes=docs.select("doc_id")
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def o_dedup_clusters():
+    # transitive closure as a recursive CTE seeded with every doc
+    # reaching itself; min reachable id = the cluster label
+    return """
+WITH RECURSIVE sig AS (
+  SELECT doc_id, min(md5(w)) AS mh1 FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+) s USING (cluster_id)
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a", "row", "table"],
     "code": ["spark", "hash", "merge", "scan"],
@@ -4006,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
@@ -4067,6 +4139,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o_dedup_exact(),
         "dedup_minhash": o_minhash(),
         "dedup_lsh_pairs": o_lsh_pairs(),
+        "dedup_clusters": o_dedup_clusters(),
         "dedup_jaccard_pairs": o_jaccard_pairs(),
         "text_lang_id": o_lang_id(),
         "text_quality": o_quality(),

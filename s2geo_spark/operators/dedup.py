@@ -1,0 +1,148 @@
+"""Distributed connected components for near-duplicate clustering.
+
+The final step of web-scale dedup: LSH/SimHash band joins propose
+candidate pairs (edges); transitively closing them groups documents into
+duplicate clusters, and one representative per cluster survives.  At
+100 TB the edge set does not fit one machine, so the closure must itself
+be a shuffle algorithm.
+
+This implements the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+2014 — public paper; also the algorithm behind GraphFrames'
+``connectedComponents``).  Each round is two shuffles keyed on node id;
+the edge set converges to a star forest (every node points at its
+component's minimum id) in O(log^2 n) rounds — in practice a handful.
+No driver-side state beyond a per-round (count, checksum) pair; lineage
+is truncated every round with an eager localCheckpoint so the plan does
+not grow with iterations (on a real cluster this maps to
+``checkpoint()`` on a fault-tolerant store).
+
+The reference repo has no distributed-dedup code (it is a C++ geometry
+library); this operator is part of the training-data-pipeline surface
+the build adds on top, mirroring the scalable shape used by public web
+corpora (CCNet, RefinedWeb, Dolma all describe MinHash-LSH + connected
+components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge set (u,v)&(v,u).
+
+    For each node u with neighbourhood N(u): m = min(N(u) + {u}); emit
+    (v, m) for every neighbour v > u.  Links every "large" neighbour to
+    the local minimum, halving tall trees each round.
+    """
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round.  Edges are first oriented large->small; for
+    each node u with smaller neighbours N(u): m = min(N(u)); emit (v, m)
+    for v in N(u) + {u}, v != m.  Flattens the small side into a star."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = directed.unionByName(
+        mins.select("u", F.col("u").alias("v"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id of its connected
+    component.
+
+    edges: DataFrame with two id columns (any orientation, duplicates and
+    self-loops tolerated).  nodes: optional single-column DataFrame of
+    node ids; isolated nodes (no edges) appear in the output labelled by
+    themselves.  Returns DataFrame(node, component).
+
+    Convergence is detected by a (count, sum-of-hash) checksum of the
+    canonicalized edge set — one tiny aggregate per round, no driver
+    collect of edges.  The result is exact for any graph the rounds
+    converge on (the algorithm is a contraction: the checksum can only
+    repeat on a fixpoint for the star forest it converges to).
+    """
+    # canonicalize to u < v so (a,b)/(b,a) inputs collapse and the
+    # reverse-union below stays duplicate-free
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    node_col = None
+    if nodes is not None:
+        node_col = nodes.columns[0]
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # e is distinct with u != v throughout (input is distinct-ed,
+        # _small_star ends in distinct), so the union with its reverse
+        # is already a set — no distinct shuffle needed here
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        e = _small_star(_large_star(sym))
+        # truncate lineage each round: iterative self-joins otherwise
+        # compound the plan (and re-execute every prior round on action)
+        e = e.localCheckpoint(eager=True)
+        # bit_xor, not sum: ANSI mode makes sum(hash) overflow long, and
+        # xor over a DISTINCT edge set is an equally strong set checksum
+        row = e.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # star forest -> labels: every edge is (member, root); roots label
+    # themselves.  min() collapses the (rare) transient where a node
+    # still carries two star edges on early exit.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    labels = (
+        members.unionByName(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    if nodes is not None:
+        all_nodes = nodes.select(
+            F.col(node_col).alias("node")
+        ).distinct()
+        labels = (
+            all_nodes.join(labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce("component", F.col("node")).alias("component"),
+            )
+        )
+    return labels
