@@ -3599,6 +3599,29 @@ def q_media_decode(spark, sf_dir):
                     (n, "jpegc", cdec["width"], cdec["height"],
                      int((cdec["pixels"].astype(np.int64) * cwgt).sum()))
                 )
+                # INTERLACED PALETTED PNG (10th kind, r5): Adam7 pass
+                # scatter + PLTE index expansion under the driver gate.
+                # Palette entry i = (i, 2i%256, 3i%256), so channel c of
+                # decoded pixel (y,x) is ((c+1)*idx)%256 in closed form.
+                iw_, ih_ = 9 + n % 8, 9 + n % 5
+                iy_, ix_ = np.meshgrid(
+                    np.arange(ih_), np.arange(iw_), indexing="ij"
+                )
+                iidx = ((n * 37 + iy_ * 13 + ix_ * 3) % 256).astype(np.uint8)
+                iplte = (
+                    np.arange(256)[:, None] * np.array([1, 2, 3]) % 256
+                ).astype(np.uint8)
+                idec = mm.decode_media(
+                    mm.encode_png(iidx, palette=iplte, interlace=True)
+                )
+                iwgt = (
+                    1 + ix_[..., None] + 2 * iy_[..., None]
+                    + 3 * np.arange(3)
+                )
+                rows.append(
+                    (n, "pngi", idec["width"], idec["height"],
+                     int((idec["pixels"].astype(np.int64) * iwgt).sum()))
+                )
                 nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
                 t, y, x = np.meshgrid(
                     np.arange(nf), np.arange(vh), np.arange(vw), indexing="ij"
@@ -3780,6 +3803,17 @@ jpc AS (
   JOIN generate_series(0, 15) x(v) ON (x.v // 8) = jr.b
   CROSS JOIN generate_series(0, 7) y(v)
   GROUP BY jr.n
+),
+pngi AS (
+  SELECT n0.n AS media_id, 'pngi' AS kind,
+         9 + n0.n % 8 AS dim1, 9 + n0.n % 5 AS dim2,
+         (SELECT SUM((((c.v + 1) * ((n0.n*37 + y.v*13 + x.v*3) % 256)) % 256)
+                     * (1 + x.v + 2*y.v + 3*c.v))
+          FROM generate_series(0, 12) y(v),
+               generate_series(0, 15) x(v),
+               generate_series(0, 2) c(v)
+          WHERE y.v < 9 + n0.n % 5 AND x.v < 9 + n0.n % 8) AS wsum
+  FROM n0
 )
 SELECT media_id, kind, CAST(dim1 AS BIGINT) AS dim1,
        CAST(dim2 AS BIGINT) AS dim2, CAST(wsum AS BIGINT) AS wsum
@@ -3787,7 +3821,7 @@ FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
       UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg
       UNION ALL SELECT * FROM jpp UNION ALL SELECT * FROM jpr
-      UNION ALL SELECT * FROM jpc) u
+      UNION ALL SELECT * FROM jpc UNION ALL SELECT * FROM pngi) u
 """
 
 

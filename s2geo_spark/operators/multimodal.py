@@ -565,34 +565,67 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """8-bit RGB PNG via stdlib zlib (deflate is in the standard library —
-    no external codec): IHDR + one IDAT (filter type 0 rows) + IEND, with
-    real CRCs."""
+# Adam7 pass grid (PNG spec 8.2): (x_start, y_start, x_step, y_step).
+# Each pass is an independently row-filtered sub-image; passes that are
+# empty for the image's dims contribute no bytes at all.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """8-bit PNG via stdlib zlib (deflate is in the standard library — no
+    external codec): IHDR [+ PLTE] + one IDAT (filter type 0 rows) + IEND,
+    with real CRCs.  palette: (n<=256, 3) uint8 makes a color-type-3
+    paletted file from a (h, w) index plane.  interlace=True writes the
+    seven Adam7 sub-images in pass order with the IHDR flag set."""
     import zlib
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, ch = px.shape
-    color_type = {3: 2, 4: 6, 1: 0}[ch]
-    if ch == 1:
-        px = px[:, :, 0][..., None]
+    if palette is not None:
+        idx = np.asarray(pixels, dtype=np.uint8)
+        if idx.ndim != 2:
+            raise ValueError("paletted PNG wants a (h, w) index plane")
+        h, w = idx.shape
+        px = idx[..., None]
+        color_type = 3
+        plte = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    else:
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w, ch = px.shape
+        color_type = {3: 2, 4: 6, 1: 0}[ch]
+        plte = None
     raw = bytearray()
-    for y in range(h):
-        raw.append(0)  # filter type None
-        raw += px[y].tobytes()
+
+    def put_rows(plane: np.ndarray) -> None:
+        for y in range(plane.shape[0]):
+            raw.append(0)  # filter type None
+            raw.extend(plane[y].tobytes())
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                put_rows(sub)
+    else:
+        put_rows(px)
     idat = zlib.compress(bytes(raw), 9)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def _png_defilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
@@ -635,9 +668,11 @@ def _png_defilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit greyscale/RGB/RGBA PNG decode with stdlib zlib: chunk walk,
-    inflate the IDAT stream, undo the five row filters. Palette, sub-byte
-    depths, and Adam7 interlace raise (out of scope, stated)."""
+    """8-bit greyscale/RGB/RGBA/paletted PNG decode with stdlib zlib:
+    chunk walk, inflate the IDAT stream, undo the five row filters,
+    de-interlace Adam7 when the IHDR flag is set, expand PLTE indices to
+    RGB.  Sub-byte depths and tRNS transparency raise (out of scope,
+    stated)."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -646,6 +681,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = h = depth = color = None
     interlace = 0
     idat = bytearray()
+    plte = None
+    trns = False
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -654,6 +691,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = True
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -661,20 +702,47 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + clen  # len + type + data + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 6):
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace}"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    if trns:
+        raise NotImplementedError("PNG tRNS transparency")
+    if color == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     _check_dims(w, h)
     raw = zlib.decompress(bytes(idat))
-    # the inflated stream must carry exactly h filtered rows — validate
-    # against the header dims BEFORE the defilter allocates (h, w*ch)
-    if len(raw) != h * (1 + w * ch):
-        raise ValueError(
-            f"PNG data length {len(raw)} != expected {h * (1 + w * ch)}"
-        )
-    return _png_defilter(raw, h, w, ch)
+    if interlace == 0:
+        # the inflated stream must carry exactly h filtered rows —
+        # validate against the header dims BEFORE the defilter allocates
+        if len(raw) != h * (1 + w * ch):
+            raise ValueError(
+                f"PNG data length {len(raw)} != expected {h * (1 + w * ch)}"
+            )
+        img = _png_defilter(raw, h, w, ch)
+    else:
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            size = hp * (1 + wp * ch)
+            if off + size > len(raw):
+                raise ValueError("truncated Adam7 PNG data")
+            img[y0::dy, x0::dx] = _png_defilter(
+                raw[off : off + size], hp, wp, ch
+            )
+            off += size
+        if off != len(raw):
+            raise ValueError(
+                f"PNG Adam7 data length {len(raw)} != expected {off}"
+            )
+    if color == 3:
+        return plte[img[:, :, 0]]
+    return img
 
 
 # --- GIF: a real LZW entropy codec, hand-implemented (public spec) ---------

@@ -265,6 +265,60 @@ class TestRealCodecs:
         assert np.array_equal(mm.decode_png(payload), px)
         assert mm.decode_media(mm.encode_png(px))["kind"] == "png"
 
+    def test_png_adam7_round_trip(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(23)
+        # sizes chosen to leave Adam7 passes empty (anything < 8 wide or
+        # tall skips at least one pass entirely)
+        for h, w in [(1, 1), (1, 9), (3, 3), (4, 5), (7, 2), (8, 8),
+                     (9, 17), (16, 5)]:
+            for ch in (3, 1, 4):
+                px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+                ilc = mm.encode_png(px, interlace=True)
+                seq = mm.encode_png(px)
+                assert ilc != seq
+                assert np.array_equal(mm.decode_png(ilc), px), (h, w, ch)
+
+    def test_png_paletted(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(29)
+        plte = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        idx = rng.integers(0, 256, (11, 6)).astype(np.uint8)
+        payload = mm.encode_png(idx, palette=plte)
+        assert np.array_equal(mm.decode_png(payload), plte[idx])
+        # paletted + interlaced combined
+        payload2 = mm.encode_png(idx, palette=plte, interlace=True)
+        assert np.array_equal(mm.decode_png(payload2), plte[idx])
+        # dispatcher sees a normal RGB image
+        dec = mm.decode_media(payload)
+        assert dec["kind"] == "png" and dec["width"] == 6 and dec["height"] == 11
+
+    def test_png_trns_raises(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from s2geo_spark.operators import multimodal as mm
+
+        plte = np.zeros((4, 3), dtype=np.uint8)
+        idx = np.zeros((2, 2), dtype=np.uint8)
+        payload = bytearray(mm.encode_png(idx, palette=plte))
+        # splice a tRNS chunk in before IDAT
+        i = bytes(payload).index(b"IDAT") - 4
+        trns = struct.pack(">I", 1) + b"tRNS" + b"\x00"
+        trns += struct.pack(">I", zlib.crc32(b"tRNS\x00") & 0xFFFFFFFF)
+        payload[i:i] = trns
+        with pytest.raises(NotImplementedError, match="tRNS"):
+            mm.decode_png(bytes(payload))
+
     def test_gif_lzw_round_trip(self, spark):
         import numpy as np
 
