@@ -2956,6 +2956,57 @@ FROM lab l JOIN (
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """Exact dedup by CANONICAL URL (operators/textops.url_normalize —
+    pure Catalyst string expressions, JVM-side).  Messy URL variants are
+    built in closed form from doc_id — mixed-case scheme/host, default
+    ports, utm_* tracking params, shuffled param order, fragments — and
+    must collapse to one canonical form per (doc_id % 50) group.  The
+    oracle never runs the normalizer: it predicts the canonical string
+    arithmetically, so any normalization bug breaks the hash."""
+    from .operators.textops import url_normalize
+
+    docs = _tw(spark, sf_dir, "documents").select("doc_id")
+    b = (F.col("doc_id") % 50).cast("string")
+    b7 = (F.col("doc_id") % 50 % 7).cast("string")
+    v = F.col("doc_id") % 4
+    scheme = F.when(v % 2 == 1, F.lit("HTTP")).otherwise(F.lit("http"))
+    hostname = (
+        F.when(v >= 2, F.concat(F.lit("ExAmPle"), b7, F.lit(".CoM")))
+        .otherwise(F.concat(F.lit("example"), b7, F.lit(".com")))
+    )
+    port = F.when(v == 1, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/Page/"), b)
+    qs = (
+        F.when(v % 2 == 0, F.lit("?a=1&z=2"))
+        .otherwise(F.lit("?z=2&a=1&utm_source=feed"))
+    )
+    frag = (
+        F.when(v == 3, F.concat(F.lit("#sec"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit(""))
+    )
+    messy = F.concat(scheme, F.lit("://"), hostname, port, path, qs, frag)
+    return (
+        docs.select("doc_id", url_normalize(messy).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def o_url_dedup():
+    # closed-form prediction of the canonical URL per doc_id%50 group —
+    # independently of the Spark-side normalizer
+    return """
+WITH d AS (SELECT doc_id, doc_id % 50 AS b FROM documents)
+SELECT 'http://example' || (b % 7) || '.com/Page/' || b || '?a=1&z=2' AS url,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM d GROUP BY b
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a", "row", "table"],
     "code": ["spark", "hash", "merge", "scan"],
@@ -4112,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_minhash,
         "dedup_lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_url": q_url_dedup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
@@ -4174,6 +4226,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": o_minhash(),
         "dedup_lsh_pairs": o_lsh_pairs(),
         "dedup_clusters": o_dedup_clusters(),
+        "dedup_url": o_url_dedup(),
         "dedup_jaccard_pairs": o_jaccard_pairs(),
         "text_lang_id": o_lang_id(),
         "text_quality": o_quality(),

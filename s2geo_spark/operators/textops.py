@@ -74,3 +74,48 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (JVM-side bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonicalize a URL for exact dedup, entirely in Catalyst
+    expressions (JVM-side, whole-stage codegen — no Python per row):
+
+    1. strip the ``#fragment``
+    2. lowercase the scheme and host[:port] (path case is preserved)
+    3. drop the scheme's default port (``:80`` http, ``:443`` https)
+    4. drop ``utm_*`` tracking params, sort the surviving query params
+    5. an empty path becomes ``/``
+
+    The canonical web-pipeline first pass: exact dedup by normalized URL
+    removes the bulk of recrawl duplicates before any content hashing."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )

@@ -57,6 +57,32 @@ def test_media_meta_extraction(spark):
     )
 
 
+def test_url_normalize(spark):
+    from pyspark.sql import functions as F
+
+    from s2geo_spark.operators.textops import url_normalize
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://ExAmPle.COM:80/Page/1?z=2&a=1#frag",
+         "http://example.com/Page/1?a=1&z=2"),
+        ("https://Host.net:443/p", "https://host.net/p"),
+        ("https://host.net:8443/p", "https://host.net:8443/p"),  # non-default kept
+        ("http://a.com", "http://a.com/"),                       # empty path
+        ("http://a.com?utm_source=x&utm_medium=y", "http://a.com/"),
+        ("http://a.com/p?b=2&a=1&utm_campaign=z", "http://a.com/p?a=1&b=2"),
+        ("http://a.com/CaseKept/Path", "http://a.com/CaseKept/Path"),
+        ("http://a.com:443/p", "http://a.com:443/p"),  # :443 not http default
+        ("http://a.com/#only-frag", "http://a.com/"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [
+        r["n"] for r in
+        df.select(url_normalize(F.col("raw")).alias("n")).collect()
+    ]
+    assert got == [c for _, c in cases]
+
+
 class TestMultimodalPlumbing:
     def test_resize_schema_and_determinism(self, spark):
         import pandas as pd
