@@ -2956,6 +2956,46 @@ FROM lab l JOIN (
 """
 
 
+def q_text_length_quantiles(spark, sf_dir):
+    """Exact distributed quantiles of document length per language:
+    p50/p90/p99 as the smallest n_chars whose cume_dist reaches the
+    quantile (discrete quantile, SQL-standard cume_dist semantics in
+    both engines — integer outputs, no interpolation-float hashing
+    hazard).  One sort-based window per lang partition; at 100 TB the
+    same shape holds (shuffle by lang, sort within partition) with
+    approx_percentile as the documented sketch fallback for heavily
+    skewed languages."""
+    from pyspark.sql import Window
+
+    docs = _tw(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cd = docs.select(
+        "lang", "n_chars", F.cume_dist().over(w).alias("cd")
+    )
+    return cd.groupBy("lang").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("n_chars"))).alias("p50"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("n_chars"))).alias("p90"),
+        F.min(F.when(F.col("cd") >= 0.99, F.col("n_chars"))).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def o_text_length_quantiles():
+    return """
+WITH cd AS (
+  SELECT lang, n_chars,
+         cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+  FROM documents
+)
+SELECT lang,
+       min(CASE WHEN cd >= 0.5 THEN n_chars END) AS p50,
+       min(CASE WHEN cd >= 0.9 THEN n_chars END) AS p90,
+       min(CASE WHEN cd >= 0.99 THEN n_chars END) AS p99,
+       count(*) AS n_docs
+FROM cd GROUP BY lang
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """Exact dedup by CANONICAL URL (operators/textops.url_normalize —
     pure Catalyst string expressions, JVM-side).  Messy URL variants are
@@ -4170,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_token_counts,
         "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
+        "text_length_quantiles": q_text_length_quantiles,
         "events_windowed": q_event_windows,
         "events_sessionize": q_sessionize,
         "events_topk": q_top_events,
@@ -4227,6 +4268,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": o_lsh_pairs(),
         "dedup_clusters": o_dedup_clusters(),
         "dedup_url": o_url_dedup(),
+        "text_length_quantiles": o_text_length_quantiles(),
         "dedup_jaccard_pairs": o_jaccard_pairs(),
         "text_lang_id": o_lang_id(),
         "text_quality": o_quality(),
