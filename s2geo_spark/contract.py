@@ -893,6 +893,41 @@ FROM hits GROUP BY polygon_id, face, iq, jq
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup: documents stream through md5 content
+    hashing and Structured Streaming's keyed-state dropDuplicates; the
+    append-mode memory sink accumulates exactly one row per distinct
+    content hash regardless of how the file source splits micro-batches.
+    The oracle is batch SELECT DISTINCT — stream/batch dedup parity is
+    hash-checked, not asserted.
+
+    Scale note: state here is one entry per distinct hash; a real
+    unbounded crawl would bound it with dropDuplicatesWithinWatermark on
+    the crawl timestamp (same operator, watermark-pruned state)."""
+    import os
+    import uuid
+
+    from s2geo_spark.streaming import pipeline as spl
+
+    schema = _t(spark, sf_dir, "documents").schema
+    src = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if not os.path.isdir(src):
+        reader = reader.option("pathGlobFilter", "documents.parquet")
+        src = sf_dir
+    stream = reader.parquet(src)
+    deduped = stream.select(
+        F.md5("text").alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    spl.run_to_memory(deduped, name, mode="append")
+    return spark.table(name)
+
+
+def o_stream_dedup():
+    return "SELECT DISTINCT md5(text) AS content_hash FROM documents"
+
+
 # --- Hausdorff / density tree / cell-union set algebra ----------------------
 
 def q_hausdorff(spark, sf_dir):
@@ -4204,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_url": q_url_dedup,
+        "dedup_stream": q_stream_dedup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
@@ -4269,6 +4305,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": o_dedup_clusters(),
         "dedup_url": o_url_dedup(),
         "text_length_quantiles": o_text_length_quantiles(),
+        "dedup_stream": o_stream_dedup(),
         "dedup_jaccard_pairs": o_jaccard_pairs(),
         "text_lang_id": o_lang_id(),
         "text_quality": o_quality(),
