@@ -457,49 +457,83 @@ def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
 import struct
 
 
-def encode_bmp(pixels: np.ndarray) -> bytes:
-    """24bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR, rows
-    padded to 4 bytes). pixels: (h, w, 3) uint8 RGB."""
+def encode_bmp(
+    pixels: np.ndarray, palette: np.ndarray | None = None
+) -> bytes:
+    """Uncompressed BMP (BITMAPINFOHEADER, bottom-up, rows padded to 4
+    bytes).  pixels (h, w, 3) RGB -> 24bpp BGR; (h, w, 4) RGBA -> 32bpp
+    BGRA; with palette (n<=256, 3) RGB, pixels is a (h, w) index plane ->
+    8bpp with a BGRX color table."""
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
-    row = w * 3
+    if palette is not None:
+        if px.ndim != 2:
+            raise ValueError("paletted BMP wants a (h, w) index plane")
+        h, w = px.shape
+        plte = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        n_colors = plte.shape[0]
+        table = np.zeros((n_colors, 4), dtype=np.uint8)
+        table[:, :3] = plte[:, ::-1]  # RGB -> BGRX quads
+        bpp, row, body_px = 8, w, px[..., None]
+        extra = table.tobytes()
+    else:
+        h, w, ch = px.shape
+        bpp = {3: 24, 4: 32}[ch]
+        row = w * ch
+        # RGB(A) -> BGR(A)
+        body_px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+        n_colors, extra = 0, b""
     pad = (-row) % 4
     img_size = (row + pad) * h
-    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
-                       2835, 2835, 0, 0)
+    offset = 54 + len(extra)
+    header = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, img_size,
+                       2835, 2835, n_colors, 0)
     body = bytearray()
     for y in range(h - 1, -1, -1):  # bottom-up
-        body += px[y, :, ::-1].tobytes()  # BGR
+        body += body_px[y].tobytes()
         body += b"\x00" * pad
-    return header + info + bytes(body)
+    return header + info + extra + bytes(body)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Inverse of encode_bmp: returns (h, w, 3) uint8 RGB."""
+    """Inverse of encode_bmp.  24bpp -> (h, w, 3) RGB; 32bpp -> (h, w, 4)
+    RGBA; 8bpp paletted -> (h, w, 3) RGB via the BGRX color table.  Other
+    depths / RLE compression raise (out of scope, stated)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     (offset,) = struct.unpack_from("<I", payload, 10)
     (hsize, w, h, planes, bpp, comp) = struct.unpack_from(
         "<IiiHHI", payload, 14
     )
-    if bpp != 24 or comp != 0:
+    if bpp not in (8, 24, 32) or comp != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
     # negative h = top-down BMP (not produced by our writer); reject along
     # with absurd header dims, and verify the payload actually carries the
     # claimed pixel data before allocating (ADVICE r3 medium)
     _check_dims(w, h)
-    row = w * 3
+    ch = bpp // 8
+    row = w * ch
     pad = (-row) % 4
     if offset + h * (row + pad) > len(payload):
         raise ValueError("truncated BMP payload")
-    out = np.empty((h, w, 3), dtype=np.uint8)
+    plte = None
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 14 + 32)
+        n_colors = clr_used or 256
+        table = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hsize
+        ).reshape(n_colors, 4)
+        plte = table[:, 2::-1]  # BGRX -> RGB
+    out = np.empty((h, w, ch), dtype=np.uint8)
     pos = offset
     for y in range(h - 1, -1, -1):
         line = np.frombuffer(payload, dtype=np.uint8, count=row, offset=pos)
-        out[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        out[y] = line.reshape(w, ch)
         pos += row + pad
-    return out
+    if bpp == 8:
+        return plte[out[:, :, 0]]
+    # BGR(A) -> RGB(A)
+    return out[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
@@ -526,11 +560,27 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
-def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """Mono PCM16 WAV."""
-    s = np.asarray(samples, dtype="<i2")
-    data = s.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+def encode_wav(
+    samples: np.ndarray, rate: int = 8000, bits: int = 16
+) -> bytes:
+    """PCM WAV.  samples: (n,) mono or (n, ch) interleaved.  bits=16
+    stores int16 little-endian; bits=8 stores the spec's unsigned bytes
+    (input in [-128, 127], written +128)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (s.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"WAV bits={bits}")
+    step = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * step * channels, step * channels, bits,
+    )
     return (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -539,12 +589,14 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Inverse of encode_wav: walks RIFF chunks, returns (rate, int16)."""
+    """Inverse of encode_wav: walks RIFF chunks, returns (rate, samples)
+    as int16 — (n,) for mono, (n, ch) for multi-channel; 8-bit PCM comes
+    back recentered to [-128, 127] (exact round trip with encode_wav)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE")
     pos = 12
     rate, bits, channels = None, None, None
-    samples = None
+    raw = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
@@ -556,12 +608,20 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             if tag != 1:
                 raise NotImplementedError(f"WAV format tag {tag}")
         elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
+            raw = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16 or channels != 1:
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif bits == 8:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    else:
         raise NotImplementedError(f"WAV bits={bits} channels={channels}")
+    if channels and channels > 1:
+        samples = samples[: len(samples) // channels * channels].reshape(
+            -1, channels
+        )
     return rate, samples
 
 

@@ -291,6 +291,56 @@ class TestRealCodecs:
         assert np.array_equal(mm.decode_png(payload), px)
         assert mm.decode_media(mm.encode_png(px))["kind"] == "png"
 
+    def test_bmp_paletted_and_32bpp(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(41)
+        # 8bpp paletted: indices expand through the BGRX color table
+        plte = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        idx = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+        assert np.array_equal(
+            mm.decode_bmp(mm.encode_bmp(idx, palette=plte)), plte[idx]
+        )
+        # short palette with biClrUsed set
+        plte4 = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+        idx4 = rng.integers(0, 4, (3, 9)).astype(np.uint8)
+        assert np.array_equal(
+            mm.decode_bmp(mm.encode_bmp(idx4, palette=plte4)), plte4[idx4]
+        )
+        # 32bpp BGRA round trip keeps alpha
+        px = rng.integers(0, 256, (6, 5, 4)).astype(np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+        # 24bpp still exact
+        px3 = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px3)), px3)
+        assert mm.decode_media(mm.encode_bmp(idx, palette=plte))["kind"] == "bmp"
+
+    def test_wav_stereo_and_8bit(self):
+        import numpy as np
+
+        from s2geo_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(43)
+        # stereo 16-bit
+        st = rng.integers(-30000, 30000, (50, 2)).astype(np.int16)
+        rate, out = mm.decode_wav(mm.encode_wav(st, rate=44100))
+        assert rate == 44100 and out.shape == (50, 2)
+        assert np.array_equal(out, st)
+        # mono 8-bit, recentered round trip
+        m8 = rng.integers(-128, 128, 33).astype(np.int16)
+        rate, out = mm.decode_wav(mm.encode_wav(m8, bits=8))
+        assert np.array_equal(out, m8) and out.dtype == np.int16
+        # stereo 8-bit
+        s8 = rng.integers(-128, 128, (21, 2)).astype(np.int16)
+        _, out = mm.decode_wav(mm.encode_wav(s8, bits=8))
+        assert np.array_equal(out, s8)
+        # mono 16-bit unchanged (1-D shape preserved)
+        m16 = rng.integers(-100, 100, 20).astype(np.int16)
+        _, out = mm.decode_wav(mm.encode_wav(m16))
+        assert out.shape == (20,) and np.array_equal(out, m16)
+
     def test_png_adam7_round_trip(self):
         import numpy as np
 
