@@ -2921,9 +2921,14 @@ JOIN sizes sb ON sb.doc_id = doc_b
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Duplicate-cluster assignment: transitive closure of the minhash
-    band-1 candidate graph (q_lsh_pairs' edges), each doc labelled with
-    the min doc_id of its component plus the component size.
+    """Duplicate-cluster assignment: transitive closure of the TWO-band
+    shingle-minhash candidate graph (the same signatures the Jaccard
+    verifier uses — docs sharing either band value connect), each doc
+    labelled with the min doc_id of its component plus the component
+    size.  With two bands a doc sits in two buckets, so components
+    genuinely chain across buckets — the closure is real multi-hop graph
+    connectivity (166 clusters at sf0.01, largest 262), not a bucket
+    groupBy.
 
     The closure runs as distributed alternating large-star/small-star
     rounds (operators/dedup.py) — the published O(log^2 n)-round
@@ -2941,13 +2946,19 @@ def q_dedup_clusters(spark, sf_dir):
     from .operators.dedup import connected_components
 
     docs = _tw(spark, sf_dir, "documents")
-    sig = q_minhash(spark, sf_dir).select("doc_id", "mh1")
-    reps = sig.groupBy("mh1").agg(F.min("doc_id").alias("rep"))
-    edges = (
-        sig.join(reps, "mh1")
-        .where(F.col("doc_id") != F.col("rep"))
-        .select("doc_id", "rep")
+    sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.min("g").alias("mh1"), F.min("g2").alias("mh2")
     )
+    edges = None
+    for band in ("mh1", "mh2"):
+        s = sig.select("doc_id", F.col(band).alias("b"))
+        reps = s.groupBy("b").agg(F.min("doc_id").alias("rep"))
+        e = (
+            s.join(reps, "b")
+            .where(F.col("doc_id") != F.col("rep"))
+            .select("doc_id", "rep")
+        )
+        edges = e if edges is None else edges.unionByName(e)
     labels = connected_components(
         edges, src="doc_id", dst="rep", nodes=docs.select("doc_id")
     )
@@ -2969,13 +2980,20 @@ def o_dedup_clusters():
     # reaching itself; min reachable id = the cluster label
     return """
 WITH RECURSIVE sig AS (
-  SELECT doc_id, min(md5(w)) AS mh1 FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-  ) WHERE w <> '' GROUP BY doc_id
+  SELECT doc_id,
+         min(('0x' || substr(md5(substr(text, pos, 12)), 1, 15))::BIGINT) AS mh1,
+         min(('0x' || substr(md5('salt:' || substr(text, pos, 12)), 1, 15))::BIGINT) AS mh2
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 11, 1))) AS pos
+        FROM documents)
+  GROUP BY doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS u, b.doc_id AS v
   FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.doc_id < b.doc_id
 ),
 edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
 reach(u, v) AS (
