@@ -3252,6 +3252,91 @@ FROM g GROUP BY doc_id
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public paper): per-doc duplicate-word fraction, the share of bigram
+    occurrences taken by the single most frequent bigram, and the share
+    taken by any repeated bigram — the standard boilerplate/spam filter
+    signals a web-text pipeline computes before training.
+
+    One Catalyst explode of the bigram stream, (doc, bigram) count, per-
+    doc rollup; both aggregations map-side combine, no Python per row."""
+    from .operators.textops import repetition_signals
+
+    docs = _tw(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+def o_text_repetition():
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, n_words, n_distinct, bg, count(*) AS c
+  FROM base GROUP BY ALL
+)
+SELECT doc_id,
+       n_words,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       1.0 - n_distinct / n_words AS dup_word_frac,
+       max(c) / sum(c) AS top_bigram_frac,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_bigram_frac
+FROM counts GROUP BY doc_id, n_words, n_distinct
+"""
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap check,
+    public): treat docs with doc_id % 23 == 0 as the held-out benchmark;
+    report every other doc that shares a distinct word 4-gram with it,
+    with the count of shared grams and of benchmark docs hit.
+
+    The benchmark side is broadcast (eval sets are tiny next to a 100-TB
+    corpus), so the corpus n-gram stream joins map-side with no shuffle;
+    grams are md5-prefix int64s so the per-doc count shuffle moves
+    8-byte keys."""
+    from .operators.textops import contamination_join
+
+    docs = _tw(spark, sf_dir, "documents")
+    return contamination_join(
+        docs.where(F.col("doc_id") % 23 != 0),
+        docs.where(F.col("doc_id") % 23 == 0),
+        n=4,
+    )
+
+
+def o_text_decontaminate():
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 3),
+           i -> ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT
+         ))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g, doc_id AS bench_doc FROM grams WHERE doc_id % 23 = 0),
+corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 23 <> 0)
+SELECT c.doc_id,
+       count(DISTINCT c.g) AS n_hit_grams,
+       count(DISTINCT b.bench_doc) AS n_bench_docs
+FROM corp c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""
+
+
 # --- events -----------------------------------------------------------------
 
 def q_event_windows(spark, sf_dir):
@@ -4262,15 +4347,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_token_counts": q_token_counts,
-        "text_tokens_bpe": q_tokens_bpe,
-        "text_fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
         "text_length_quantiles": q_text_length_quantiles,
         "events_windowed": q_event_windows,
         "events_sessionize": q_sessionize,
         "events_topk": q_top_events,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
-        # --- tail (positions 51-54): stable since r1, rotate back next round
+        # --- tail (positions 51+): stable since r1 (driver-green every
+        # round they were in the window), rotate back next round
+        "text_tokens_bpe": q_tokens_bpe,
+        "text_fingerprint": q_fingerprint,
         "s2_face_counts": q_face_counts,
         "s2_cap_counts": q_cap_counts,
         "s2_rect_counts": q_rect_counts,
@@ -4323,6 +4411,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": o_dedup_clusters(),
         "dedup_url": o_url_dedup(),
         "text_length_quantiles": o_text_length_quantiles(),
+        "text_repetition": o_text_repetition(),
+        "text_decontaminate": o_text_decontaminate(),
         "dedup_stream": o_stream_dedup(),
         "dedup_jaccard_pairs": o_jaccard_pairs(),
         "text_lang_id": o_lang_id(),

@@ -76,6 +76,124 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _words(text_col: str) -> Column:
+    """Whitespace tokens with empties dropped, as an array column."""
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+
+def word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
+                text_col: str = "text", hashed: bool = True) -> DataFrame:
+    """Distinct word n-grams per document, exploded to one row per
+    (id, gram).
+
+    Gram construction is pure Catalyst (split → slice/transform →
+    array_distinct → explode), so the whole stage stays inside
+    whole-stage codegen. With ``hashed=True`` each gram is reduced to an
+    int64 (md5 hex-prefix — the same hash family the shingle pipeline
+    uses) BEFORE the explode, so every downstream shuffle moves 8-byte
+    longs instead of n-word strings: at 100 TB the n-gram stream is the
+    dominant shuffle and this is ~5-10× less shuffle volume."""
+    gram = f"array_join(slice(w, i + 1, {n}), ' ')"
+    if hashed:
+        gram = f"cast(conv(substr(md5({gram}), 1, 15), 16, 10) as bigint)"
+    return (
+        docs.select(F.col(id_col), _words(text_col).alias("w"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(slice(w, 1, greatest(size(w) - {n - 1},"
+                        f" 0)), (x, i) -> {gram})"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+
+
+def contamination_join(corpus: DataFrame, benchmark: DataFrame, n: int = 4,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, the number of
+    distinct word n-grams it shares with the benchmark set and how many
+    distinct benchmark docs it collides with. Docs with zero overlap are
+    absent (inner join) — the common pipeline drops or flags the rest.
+
+    Scale shape: the benchmark side (eval sets — thousands of docs, not
+    billions) is broadcast, so the 100-TB corpus n-gram stream never
+    shuffles for the join; the only shuffle is the final per-doc count,
+    which map-side partial aggregation keeps proportional to the number
+    of CONTAMINATED docs, not the gram count."""
+    grams = word_ngrams(corpus, n, id_col, text_col)
+    bench = (
+        word_ngrams(benchmark, n, id_col, text_col)
+        .select(F.col(id_col).alias("bench_doc"), "g")
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, public): the fraction of tokens that are repeats, the share of
+    bigram occurrences belonging to the single most frequent bigram, and
+    the share belonging to any repeated bigram. High values mark
+    boilerplate/spam for filtering before training.
+
+    Distributed shape: one explode of the bigram stream, a (doc, bigram)
+    count, then a per-doc rollup — both aggregations get map-side
+    partial combine, and no state ever exceeds one doc's distinct
+    bigrams per key. Everything is Catalyst; no Python in the row path."""
+    base = docs.select(F.col(id_col), _words(text_col).alias("w")).select(
+        id_col,
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        F.explode_outer(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', w[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    counts = (
+        base.groupBy(id_col, "n_words", "n_distinct_words", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    has_bg = F.max(F.col("bg").isNotNull().cast("long")) == 1
+    n_bigrams = F.sum(F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+    return counts.groupBy(id_col, "n_words", "n_distinct_words").agg(
+        n_bigrams.alias("n_bigrams"),
+        F.when(has_bg, F.max("c") / n_bigrams).otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            has_bg,
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / n_bigrams,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    ).select(
+        id_col,
+        "n_words",
+        "n_bigrams",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_words") / F.col("n_words")
+        ).alias("dup_word_frac"),
+        "top_bigram_frac",
+        "dup_bigram_frac",
+    )
+
+
 def url_normalize(url: Column) -> Column:
     """Canonicalize a URL for exact dedup, entirely in Catalyst
     expressions (JVM-side, whole-stage codegen — no Python per row):

@@ -83,6 +83,104 @@ def test_url_normalize(spark):
     assert got == [c for _, c in cases]
 
 
+class TestRepetitionSignals:
+    def _run(self, spark, texts):
+        from s2geo_spark.operators.textops import repetition_signals
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()
+        }
+
+    def test_all_distinct(self, spark):
+        r = self._run(spark, ["a b c d"])[0]
+        assert r["n_words"] == 4 and r["n_bigrams"] == 3
+        assert r["dup_word_frac"] == 0.0
+        assert r["top_bigram_frac"] == 1.0 / 3
+        assert r["dup_bigram_frac"] == 0.0
+
+    def test_fully_repetitive(self, spark):
+        # "x x x x x": 4 identical bigrams, 1 distinct word of 5
+        r = self._run(spark, ["x x x x x"])[0]
+        assert r["n_bigrams"] == 4
+        assert r["dup_word_frac"] == 1.0 - 1.0 / 5
+        assert r["top_bigram_frac"] == 1.0
+        assert r["dup_bigram_frac"] == 1.0
+
+    def test_single_word_doc(self, spark):
+        # no bigrams: fractions must be 0.0, not null/NaN
+        r = self._run(spark, ["lonely"])[0]
+        assert r["n_words"] == 1 and r["n_bigrams"] == 0
+        assert r["top_bigram_frac"] == 0.0
+        assert r["dup_bigram_frac"] == 0.0
+        assert r["dup_word_frac"] == 0.0
+
+    def test_mixed_counts(self, spark):
+        # "a b a b c": bigrams = a-b, b-a, a-b, b-c; top = a-b (2/4),
+        # dup occurrences = 2/4; distinct words 3 of 5
+        r = self._run(spark, ["a b a b c", "q r"])[0]
+        assert r["n_bigrams"] == 4
+        assert r["top_bigram_frac"] == 0.5
+        assert r["dup_bigram_frac"] == 0.5
+        assert r["dup_word_frac"] == 1.0 - 3.0 / 5
+
+
+class TestContamination:
+    def test_ngrams_match_python(self, spark):
+        from s2geo_spark.operators.textops import word_ngrams
+
+        texts = ["a b c d e", "a b c", "x  y z w", ""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["g"])
+            for r in word_ngrams(df, 3, hashed=False).collect()
+        }
+        want = set()
+        for i, t in enumerate(texts):
+            w = [x for x in t.split(" ") if x]
+            want |= {(i, " ".join(w[j:j + 3])) for j in range(len(w) - 2)}
+        assert got == want
+
+    def test_overlap_counts(self, spark):
+        from s2geo_spark.operators.textops import contamination_join
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps"),
+             (101, "pack my box with five dozen jugs")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(0, "see the quick brown fox jumps high"),   # 2 shared 4-grams
+             (1, "pack my box with nothing"),             # 1 shared (both?)
+             (2, "totally disjoint words here")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in
+                contamination_join(corpus, bench, n=4).collect()}
+        assert set(rows) == {0, 1}
+        assert rows[0]["n_hit_grams"] == 2 and rows[0]["n_bench_docs"] == 1
+        assert rows[1]["n_hit_grams"] == 1 and rows[1]["n_bench_docs"] == 1
+
+    def test_benchmark_side_broadcast(self, spark):
+        from s2geo_spark.operators.textops import contamination_join
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), F.col("id").cast("string"),
+                     F.lit(" a b c d e f")).alias("text"),
+        )
+        plan = contamination_join(
+            df.where(F.col("doc_id") % 10 != 0),
+            df.where(F.col("doc_id") % 10 == 0),
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestMultimodalPlumbing:
     def test_resize_schema_and_determinism(self, spark):
         import pandas as pd
