@@ -3828,6 +3828,22 @@ def q_media_decode(spark, sf_dir):
                     (n, "jpegc", cdec["width"], cdec["height"],
                      int((cdec["pixels"].astype(np.int64) * cwgt).sum()))
                 )
+                # MULTI-SCAN SEQUENTIAL COLOR JPEG (11th kind, r5): the
+                # same pixels as jpegc, transmitted as one
+                # non-interleaved scan per component (T.81 A.2.2) —
+                # identical coefficients, so the same closed form
+                # predicts every pixel; puts the multi-scan decode path
+                # (per-component block grids, per-scan DC chains, the
+                # component-coverage check) under the driver gate
+                mdec = mm.decode_media(
+                    jpeg_ops.encode_jpeg(
+                        cpx, quality=75, subsampling="444", multiscan=True
+                    )
+                )
+                rows.append(
+                    (n, "jpegm", mdec["width"], mdec["height"],
+                     int((mdec["pixels"].astype(np.int64) * cwgt).sum()))
+                )
                 # INTERLACED PALETTED PNG (10th kind, r5): Adam7 pass
                 # scatter + PLTE index expansion under the driver gate.
                 # Palette entry i = (i, 2i%256, 3i%256), so channel c of
@@ -4033,6 +4049,17 @@ jpc AS (
   CROSS JOIN generate_series(0, 7) y(v)
   GROUP BY jr.n
 ),
+jpm AS (
+  -- multi-scan sequential color JPEG: identical coefficients to jpegc
+  -- (non-interleaved transmission order only), so the same closed form
+  SELECT jr.n AS media_id, 'jpegm' AS kind,
+         CAST(16 AS BIGINT) AS dim1, CAST(8 AS BIGINT) AS dim2,
+         SUM((1 + x.v + 2*y.v) * (jr.rp + 4*jr.gp + 7*jr.bp)) AS wsum
+  FROM jpc_rgb jr
+  JOIN generate_series(0, 15) x(v) ON (x.v // 8) = jr.b
+  CROSS JOIN generate_series(0, 7) y(v)
+  GROUP BY jr.n
+),
 pngi AS (
   SELECT n0.n AS media_id, 'pngi' AS kind,
          9 + n0.n % 8 AS dim1, 9 + n0.n % 5 AS dim2,
@@ -4050,7 +4077,8 @@ FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
       UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg
       UNION ALL SELECT * FROM jpp UNION ALL SELECT * FROM jpr
-      UNION ALL SELECT * FROM jpc UNION ALL SELECT * FROM pngi) u
+      UNION ALL SELECT * FROM jpc UNION ALL SELECT * FROM jpm
+      UNION ALL SELECT * FROM pngi) u
 """
 
 

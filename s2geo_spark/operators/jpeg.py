@@ -388,10 +388,14 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    multiscan: bool = False,
 ) -> bytes:
     """Baseline JFIF encode. pixels: (h, w) / (h, w, 1) grayscale uint8 or
     (h, w, 3) RGB uint8. subsampling: '444' or '420' (color only).
-    restart_interval > 0 writes DRI + RSTn markers every that many MCUs."""
+    restart_interval > 0 writes DRI + RSTn markers every that many MCUs.
+    multiscan=True emits one non-interleaved scan per component (T.81
+    A.2.2) instead of a single interleaved scan — same coefficients,
+    different transmission order, so decode is bit-identical."""
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -433,14 +437,6 @@ def encode_jpeg(
     if restart_interval:
         out += _segment(0xDD, struct.pack(">H", restart_interval))
 
-    # table selector byte: DC table in the high nibble, AC in the low —
-    # component 1 uses tables 0/0, components 2-3 use 1/1
-    sos = bytes([len(comps)])
-    for cid, _hs, _vs, tq in comps:
-        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
-    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-    out += _segment(0xDA, sos)
-
     # planes in MCU-padded form
     if gray:
         planes = [px.astype(np.float64)]
@@ -479,25 +475,58 @@ def encode_jpeg(
         zz, by, bx = _quantize_plane(plane, qtabs[ci])
         comp_zz.append(zz.reshape(by, bx, 64))
 
-    bw = _BitWriter()
-    preds = [0] * len(comps)
-    mcu = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.emit_rst(rst)
-                rst += 1
-                preds = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                for dy in range(vs):
-                    for dx in range(hs):
-                        zz = comp_zz[ci][my * vs + dy, mx * hs + dx]
-                        preds[ci] = _encode_block(
-                            bw, zz, preds[ci], enc_dc[ci], enc_ac[ci]
-                        )
-            mcu += 1
-    out += bw.flush()
+    # table selector byte: DC table in the high nibble, AC in the low —
+    # component 1 uses tables 0/0, components 2-3 use 1/1
+    if not multiscan or len(comps) == 1:
+        sos = bytes([len(comps)])
+        for cid, _hs, _vs, tq in comps:
+            sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+        sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+        out += _segment(0xDA, sos)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        mcu = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.emit_rst(rst)
+                    rst += 1
+                    preds = [0] * len(comps)
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            zz = comp_zz[ci][my * vs + dy, mx * hs + dx]
+                            preds[ci] = _encode_block(
+                                bw, zz, preds[ci], enc_dc[ci], enc_ac[ci]
+                            )
+                mcu += 1
+        out += bw.flush()
+    else:
+        # one non-interleaved scan per component: data units walk the
+        # component's OWN ceil-grid (can be smaller than the MCU-padded
+        # grid), restart numbering resets at each SOS
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            sos = bytes([1, cid, 0x00 if tq == 0 else 0x11]) + b"\x00\x3f\x00"
+            out += _segment(0xDA, sos)
+            bh = ((h * vs + vmax - 1) // vmax + 7) // 8
+            bw_n = ((w * hs + hmax - 1) // hmax + 7) // 8
+            bw = _BitWriter()
+            pred = 0
+            rst = 0
+            for byi in range(bh):
+                for bxi in range(bw_n):
+                    unit = byi * bw_n + bxi
+                    if restart_interval and unit \
+                            and unit % restart_interval == 0:
+                        bw.emit_rst(rst)
+                        rst += 1
+                        pred = 0
+                    pred = _encode_block(
+                        bw, comp_zz[ci][byi, bxi], pred,
+                        enc_dc[ci], enc_ac[ci],
+                    )
+            out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -517,6 +546,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     prog_zz = None  # progressive: per-component coefficient accumulators
+    seq_zz = None   # multi-scan sequential: same accumulators
+    seq_seen: set[int] = set()
     restart_interval = 0
     n = len(payload)
     while pos + 4 <= n:
@@ -591,18 +622,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     }
                 )
             if not frame["progressive"]:
-                if ns < len(frame["comps"]):
-                    # spec-legal non-interleaved sequential (one scan per
-                    # component): decoding only the first scan would return
-                    # a plausible-but-wrong grayscale image — honest raise,
-                    # same policy as the arithmetic/12-bit/hierarchical modes
-                    raise NotImplementedError(
-                        "multi-scan (non-interleaved) sequential JPEG"
+                if ns == len(frame["comps"]):
+                    return _decode_scan(
+                        payload, pos + 2 + seglen, frame, scan, qtabs,
+                        restart_interval,
                     )
-                return _decode_scan(
-                    payload, pos + 2 + seglen, frame, scan, qtabs,
+                # spec-legal multi-scan sequential (T.81 A.2.2/A.2.3:
+                # one-component non-interleaved scans, or a partial
+                # interleave over a component subset): accumulate
+                # coefficients scan by scan, reconstruct once every
+                # component has been covered — same shape as progressive
+                if seq_zz is None:
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                    seq_zz = [
+                        np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
+                                 np.int64)
+                        for c in frame["comps"]
+                    ]
+                for s in scan:
+                    if s["ci"] in seq_seen:
+                        raise ValueError(
+                            "sequential JPEG: component scanned twice"
+                        )
+                    seq_seen.add(s["ci"])
+                pos = _decode_seq_scan(
+                    payload, pos + 2 + seglen, frame, scan, seq_zz,
                     restart_interval,
                 )
+                continue
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if prog_zz is None:
@@ -621,13 +671,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if frame is not None and frame.get("progressive") and prog_zz is not None:
+    acc = prog_zz if prog_zz is not None else seq_zz
+    if frame is not None and acc is not None:
+        if seq_zz is not None and seq_seen != set(range(len(frame["comps"]))):
+            raise ValueError("sequential JPEG missing component scans")
         hmax = max(c["h"] for c in frame["comps"])
         vmax = max(c["v"] for c in frame["comps"])
         mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
         mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
         shaped = [
-            prog_zz[ci].reshape(mcuy * c["v"], mcux * c["h"], 64)
+            acc[ci].reshape(mcuy * c["v"], mcux * c["h"], 64)
             for ci, c in enumerate(frame["comps"])
         ]
         return _reconstruct(frame, frame["comps"], shaped, qtabs)
@@ -903,6 +956,77 @@ def _decode_scan_scalar(data, pos, frame, scan, qtabs, restart_interval):
             mcu += 1
 
     return _reconstruct(frame, [s["comp"] for s in scan], comp_zz, qtabs)
+
+
+def _decode_seq_scan(data, pos, frame, scan, seq_zz, restart_interval):
+    """Decode one multi-scan sequential scan (T.81 A.2.2/A.2.3: a
+    single-component non-interleaved scan, or a partial interleave over a
+    component subset) into the shared coefficient accumulators; returns
+    the stream position of the next marker. Block order: non-interleaved
+    scans walk the component's own ceil-grid in raster order; partial
+    interleaves walk the full-frame MCU grid with h x v blocks per MCU.
+    Restart intervals reset the DC predictors per T.81 E.2.4."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(data, pos)
+    ri = restart_interval
+    rst = 0
+    try:
+        if len(scan) == 1:  # non-interleaved: component's own block grid
+            s = scan[0]
+            c = s["comp"]
+            cw = (w * c["h"] + hmax - 1) // hmax
+            chh = (h * c["v"] + vmax - 1) // vmax
+            bh, bw_ = (chh + 7) // 8, (cw + 7) // 8
+            stride = mcux * c["h"]  # accumulator rows use the padded grid
+            zzc = seq_zz[s["ci"]]
+            pred = 0
+            for byi in range(bh):
+                for bxi in range(bw_):
+                    unit = byi * bw_ + bxi
+                    if ri and unit and unit % ri == 0:
+                        reader.restart(rst % 8)
+                        rst += 1
+                        pred = 0
+                    pred = _decode_block(
+                        reader, s, zzc[byi * stride + bxi], pred
+                    )
+        else:  # partial interleave: full MCU grid, subset of components
+            preds = {s["ci"]: 0 for s in scan}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = my * mcux + mx
+                    if ri and mcu and mcu % ri == 0:
+                        reader.restart(rst % 8)
+                        rst += 1
+                        preds = {s["ci"]: 0 for s in scan}
+                    for s in scan:
+                        c = s["comp"]
+                        stride = mcux * c["h"]
+                        for dy in range(c["v"]):
+                            for dx in range(c["h"]):
+                                u = (my * c["v"] + dy) * stride \
+                                    + mx * c["h"] + dx
+                                preds[s["ci"]] = _decode_block(
+                                    reader, s, seq_zz[s["ci"]][u],
+                                    preds[s["ci"]],
+                                )
+    except _MarkerHit as mh:
+        raise ValueError(f"sequential scan truncated at marker {mh.marker:02x}")
+
+    # skip padding bits, then locate the next marker (same tail as the
+    # progressive path: runs of 0xFF fill bytes before a marker are legal)
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    while p + 2 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
+        p += 1
+    return p
 
 
 def _reconstruct(frame, comps, comp_zz, qtabs):

@@ -417,15 +417,58 @@ class TestVectorizedScanDecode:
         jpeg.decode_jpeg(jpeg.encode_jpeg(px))
         assert not called
 
-    def test_multiscan_sequential_raises(self):
-        # spec-legal non-interleaved sequential (one scan per component)
-        # must raise, not silently return the first component
+    def test_multiscan_sequential_444(self):
+        # spec-legal non-interleaved sequential (one scan per component,
+        # T.81 A.2.2) decodes bit-identically to the interleaved stream
+        # of the same image
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        a = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling="444"))
+        b = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(px, subsampling="444", multiscan=True)
+        )
+        assert np.array_equal(a, b)
+
+    def test_multiscan_sequential_420_odd_dims(self):
+        # 420 with odd dims: the full-res component's non-interleaved
+        # grid is SMALLER than the MCU-padded grid (17 rows -> 3 block
+        # rows vs mcuy*vmax = 4) — exercises the ceil-grid block order
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        a = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling="420"))
+        b = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(px, subsampling="420", multiscan=True)
+        )
+        assert np.array_equal(a, b)
+
+    def test_multiscan_sequential_restart_intervals(self):
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        a = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling="420"))
+        b = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(
+                px, subsampling="420", restart_interval=3, multiscan=True
+            )
+        )
+        assert np.array_equal(a, b)
+
+    def test_multiscan_missing_component_raises(self):
+        # a multi-scan stream that never covers component 3 must raise,
+        # not return a plausible-but-wrong image
         px = np.full((8, 8, 3), 90, dtype=np.uint8)
-        b = bytearray(jpeg.encode_jpeg(px))
-        i = b.index(b"\xff\xda")
-        seglen = struct.unpack_from(">H", b, i + 2)[0]
-        # rewrite the SOS header to cover only component 1
-        sos = jpeg._segment(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
-        b2 = bytes(b[:i]) + sos + bytes(b[i + 2 + seglen :])
-        with pytest.raises(NotImplementedError):
+        b = bytes(jpeg.encode_jpeg(px, multiscan=True))
+        # drop the last scan: truncate at the third SOS, re-append EOI
+        third_sos = b.rindex(b"\xff\xda")
+        b2 = b[:third_sos] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="missing component"):
+            jpeg.decode_jpeg(b2)
+
+    def test_multiscan_duplicate_component_raises(self):
+        px = np.full((8, 8, 3), 90, dtype=np.uint8)
+        b = bytes(jpeg.encode_jpeg(px, multiscan=True))
+        # duplicate the first scan (up to the second SOS) after itself
+        first = b.index(b"\xff\xda")
+        second = b.index(b"\xff\xda", first + 2)
+        b2 = b[:second] + b[first:second] + b[second:]
+        with pytest.raises(ValueError, match="scanned twice"):
             jpeg.decode_jpeg(b2)
