@@ -3337,6 +3337,69 @@ GROUP BY c.doc_id
 """
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrub (r5): redact emails / IPv4s / phone numbers with typed
+    placeholders and report per-doc match counts + an exact signature of
+    the redacted text. The synthetic corpus carries no PII, so each doc
+    is deterministically augmented (from doc_id alone) with one email,
+    one phone, and one IP before scrubbing — the oracle rebuilds the
+    identical augmented string in SQL and replays the same regex passes,
+    so the value-hash pins the exact replacement output.
+
+    Pure Catalyst regexp expressions per row, no shuffle at all beyond
+    the scan — the 100-TB shape for a map-only scrub pass."""
+    from .operators.textops import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail"), (did % 7).cast("string"),
+            F.lit(".example.com call +1-555-"),
+            F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit("."), ((did * 3) % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+def o_text_pii_scrub():
+    return r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+              || '.example.com call +1-555-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || (doc_id % 256) || '.'
+              || ((doc_id * 3) % 256) || '.7' AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t,
+         '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       ('0x' || substr(md5(r), 1, 15))::BIGINT AS redacted_sig
+FROM red
+"""
+
+
 # --- events -----------------------------------------------------------------
 
 def q_event_windows(spark, sf_dir):
@@ -4332,7 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf,
         "olap_lineitem_rollup": q_lineitem_rollup,
         "olap_top_customers": q_top_customers,
-        "s2_quad_counts": q_quad_counts,
+        "text_pii_scrub": q_text_pii_scrub,
         "s2_cap_join": q_cap_join,
         "s2_pip_join": q_pip_join,
         "s2_pip_large": q_pip_large,
@@ -4391,17 +4454,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_counts": q_cap_counts,
         "s2_rect_counts": q_rect_counts,
         "s2_pip_counts": q_pip_counts,
+        "s2_quad_counts": q_quad_counts,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "s2_face_counts": o_face_counts(),
-        "s2_quad_counts": o_quad_counts(),
+        "text_pii_scrub": o_text_pii_scrub(),
         "s2_cap_join": o_cap_join(),
         "s2_cap_counts": o_cap_counts(),
         "s2_pip_join": o_pip_join(),
         "s2_pip_counts": o_pip_counts(),
+        "s2_quad_counts": o_quad_counts(),
         "s2_pip_large": o_pip_large(),
         "s2_edge_crossings": o_edge_crossings(),
         "s2_boolean_counts": o_boolean_counts(),

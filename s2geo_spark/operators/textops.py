@@ -194,6 +194,48 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Redaction passes run in list order: emails first (an email's host part
+# can look like an IP), then IPs, then phones — each pattern is counted
+# against the ORIGINAL text but replaced cumulatively.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document PII redaction — the scrub pass a web-text pipeline
+    runs before training-data release: count and replace emails, IPv4
+    addresses, and international-format phone numbers with typed
+    placeholder tokens.
+
+    Entirely Catalyst ``regexp_count``/``regexp_replace`` expressions
+    (JVM-side, whole-stage codegen, no Python per row; the patterns use
+    only character classes and bounded quantifiers so Java-regex and
+    RE2 semantics agree). Returns per-doc match counts, the redacted
+    length, and an md5-prefix int64 signature of the redacted text so a
+    correctness oracle can pin the exact replacement output, not just
+    the counts."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{key}")
+        for key, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _key, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        F.length(red).cast("long").alias("redacted_len"),
+        F.conv(F.substring(F.md5(red), 1, 15), 16, 10)
+        .cast("long")
+        .alias("redacted_sig"),
+    )
+
+
 def url_normalize(url: Column) -> Column:
     """Canonicalize a URL for exact dedup, entirely in Catalyst
     expressions (JVM-side, whole-stage codegen — no Python per row):

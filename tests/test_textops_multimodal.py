@@ -127,6 +127,71 @@ class TestRepetitionSignals:
         assert r["dup_word_frac"] == 1.0 - 3.0 / 5
 
 
+class TestPiiScrub:
+    def _run(self, spark, texts):
+        from s2geo_spark.operators.textops import pii_scrub
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+
+    def test_counts_and_redaction(self, spark):
+        r = self._run(
+            spark,
+            ["mail a.b+c@sub.example.org or call +1-555-123-4567 "
+             "from 192.168.0.1 now"],
+        )[0]
+        assert r["n_email"] == 1
+        assert r["n_phone"] == 1
+        assert r["n_ip"] == 1
+        redacted = "mail <EMAIL> or call <PHONE> from <IP> now"
+        assert r["redacted_len"] == len(redacted)
+
+    def test_ip_host_mailbox(self, spark):
+        # "admin@10.0.0.1" is NOT an email under the pattern (the host
+        # lacks an alphabetic TLD), so the IP pass redacts the address
+        # part instead
+        r = self._run(spark, ["ping admin@10.0.0.1 soon"])[0]
+        assert r["n_email"] == 0
+        assert r["n_ip"] == 1
+        assert r["redacted_len"] == len("ping admin@<IP> soon")
+
+    def test_email_with_digit_dot_local_part(self, spark):
+        # the email pass runs FIRST: a local part that ends in an
+        # IP-like digit run is consumed whole by <EMAIL>, so no <IP>
+        # token appears in the redacted text even though the IP count
+        # (against the original text) sees the digit run
+        r = self._run(spark, ["see 10.0.0.1@ex.com ok"])[0]
+        assert r["n_email"] == 1
+        assert r["n_ip"] == 1
+        assert r["redacted_len"] == len("see <EMAIL> ok")
+
+    def test_clean_text_untouched(self, spark):
+        txt = "no personal data here just words and numbers 42"
+        r = self._run(spark, [txt])[0]
+        assert (r["n_email"], r["n_phone"], r["n_ip"]) == (0, 0, 0)
+        assert r["redacted_len"] == len(txt)
+
+    def test_multiple_matches_per_doc(self, spark):
+        r = self._run(
+            spark, ["a@b.co c@d.org 1.2.3.4 5.6.7.8 +1-555-000-1111"]
+        )[0]
+        assert r["n_email"] == 2
+        assert r["n_ip"] == 2
+        assert r["n_phone"] == 1
+
+    def test_map_only_plan(self, spark):
+        # the scrub is a pure per-row projection: no exchange anywhere
+        from s2geo_spark.operators.textops import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "x@y.zz")], "doc_id long, text string"
+        )
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestContamination:
     def test_ngrams_match_python(self, spark):
         from s2geo_spark.operators.textops import word_ngrams
