@@ -3337,6 +3337,74 @@ GROUP BY c.doc_id
 """
 
 
+def q_text_span_dedup(spark, sf_dir):
+    """C4-style duplicated-span statistics (r5): per doc, how many of
+    its sliding 5-word windows occur more than once corpus-wide and the
+    exact fraction of its words covered by such windows (gaps-and-
+    islands interval union) — the signal behind "discard all but one of
+    any span occurring more than once".
+
+    Spans are hashed to int64 pre-explode; the global span count is one
+    map-side-combining groupBy; the flag join shuffles both sides on the
+    8-byte hash (never broadcast — the count table is corpus-sized at
+    100 TB); the interval merge windows over only the duplicated spans."""
+    from .operators.textops import span_dup_coverage
+
+    docs = _tw(spark, sf_dir, "documents")
+    return span_dup_coverage(docs, n=5)
+
+
+def o_text_span_dedup():
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, len(w) AS n_words, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 0))) t(i)
+),
+counts AS (SELECT g, count(*) AS c FROM spans GROUP BY g),
+flagged AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN counts USING (g) WHERE c > 1
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+cov AS (
+  SELECT doc_id, sum(cl) AS covered FROM (
+    SELECT doc_id, island, max(pos) + 5 - min(pos) AS cl
+    FROM isl GROUP BY doc_id, island
+  ) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, any_value(n_words) AS n_words, count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+dup AS (SELECT doc_id, count(*) AS n_dup FROM flagged GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_words AS BIGINT) AS n_words,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_words,
+       CASE WHEN t.n_words > 0
+            THEN coalesce(c.covered, 0) / t.n_words ELSE 0.0
+       END AS dup_cover_frac
+FROM tot t LEFT JOIN dup d USING (doc_id) LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII scrub (r5): redact emails / IPv4s / phone numbers with typed
     placeholders and report per-doc match counts + an exact signature of
@@ -4396,7 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_lineitem_rollup": q_lineitem_rollup,
         "olap_top_customers": q_top_customers,
         "text_pii_scrub": q_text_pii_scrub,
-        "s2_cap_join": q_cap_join,
+        "text_span_dedup": q_text_span_dedup,
         "s2_pip_join": q_pip_join,
         "s2_pip_large": q_pip_large,
         "s2_edge_crossings": q_edge_crossings,
@@ -4455,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rect_counts": q_rect_counts,
         "s2_pip_counts": q_pip_counts,
         "s2_quad_counts": q_quad_counts,
+        "s2_cap_join": q_cap_join,
     }
 
 
@@ -4462,11 +4531,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "s2_face_counts": o_face_counts(),
         "text_pii_scrub": o_text_pii_scrub(),
-        "s2_cap_join": o_cap_join(),
+        "text_span_dedup": o_text_span_dedup(),
         "s2_cap_counts": o_cap_counts(),
         "s2_pip_join": o_pip_join(),
         "s2_pip_counts": o_pip_counts(),
         "s2_quad_counts": o_quad_counts(),
+        "s2_cap_join": o_cap_join(),
         "s2_pip_large": o_pip_large(),
         "s2_edge_crossings": o_edge_crossings(),
         "s2_boolean_counts": o_boolean_counts(),

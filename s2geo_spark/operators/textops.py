@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
@@ -108,6 +109,91 @@ def word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
                     )
                 )
             ).alias("g"),
+        )
+    )
+
+
+def span_dup_coverage(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """C4-style duplicated-span signal (Raffel et al. 2020 §2.2, public
+    paper: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"): slide an n-word window
+    over every doc, count each window's occurrences corpus-wide, and
+    report per doc how many of its windows are globally duplicated and
+    what fraction of its words a duplicated window covers — the span
+    statistic the drop-or-trim decision consumes.
+
+    Scale shape: windows are hashed to int64 BEFORE the explode (8-byte
+    shuffle keys); the global count is one map-side-combining groupBy on
+    the hash; the flag join is a hash-partitioned equi-join (both sides
+    shuffle on g once — never broadcast, the count table is corpus-sized
+    at 100 TB); the exact word-coverage union runs per doc with window
+    functions over ONLY the duplicated spans (a small fraction of the
+    stream), via gaps-and-islands interval merge — no Python per row, no
+    driver state."""
+    gram = (
+        f"cast(conv(substr(md5(array_join(slice(w, i + 1, {n}), ' ')),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    spans = (
+        docs.select(F.col(id_col), _words(text_col).alias("w"))
+        .select(
+            id_col,
+            F.size("w").alias("n_words"),
+            F.posexplode(
+                F.expr(
+                    f"transform(slice(w, 1, greatest(size(w) - {n - 1},"
+                    f" 0)), (x, i) -> {gram})"
+                )
+            ).alias("pos", "g"),
+        )
+    )
+    counts = spans.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    totals = spans.groupBy(id_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    flagged = spans.join(counts.where(F.col("c") > 1), "g").select(
+        id_col, "pos"
+    )
+    # gaps-and-islands: a window [pos, pos+n-1] starts a new island iff
+    # it does not overlap the furthest end seen so far; island coverage
+    # = max(pos) + n - min(pos) (n fixed, so max end = max pos + n - 1)
+    bypos = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        bypos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        flagged.withColumn(
+            "brk",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(bypos))
+        .groupBy(id_col, "island")
+        .agg((F.max("pos") + n - F.min("pos")).alias("cl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nisl"),
+            F.sum("cl").alias("covered_words"),
+        )
+    )
+    ndup = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        totals.join(ndup, id_col, "left")
+        .join(islands.drop("_nisl"), id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_words", F.lit(0)).alias("covered_words"),
+            F.when(F.col("n_words") > 0,
+                   F.coalesce("covered_words", F.lit(0))
+                   / F.col("n_words"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_cover_frac"),
         )
     )
 

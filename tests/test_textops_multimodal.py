@@ -127,6 +127,55 @@ class TestRepetitionSignals:
         assert r["dup_word_frac"] == 1.0 - 3.0 / 5
 
 
+class TestSpanDupCoverage:
+    def _run(self, spark, texts, n=5):
+        from s2geo_spark.operators.textops import span_dup_coverage
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r.asDict()
+            for r in span_dup_coverage(df, n=n).collect()
+        }
+
+    def test_cross_doc_shared_span(self, spark):
+        # "a b c d e" appears in both docs; each doc has exactly one
+        # duplicated window covering 5 of its 8 words
+        out = self._run(
+            spark, ["a b c d e f g h", "x a b c d e y z"]
+        )
+        for i in (0, 1):
+            r = out[i]
+            assert r["n_words"] == 8 and r["n_spans"] == 4
+            assert r["n_dup_spans"] == 1
+            assert r["covered_words"] == 5
+            assert r["dup_cover_frac"] == 5 / 8
+
+    def test_within_doc_repeat_and_island_merge(self, spark):
+        # "p q r s t u" twice: windows pqrst (pos 0,6) and qrstu
+        # (pos 1,7) are duplicated; overlapping intervals merge into two
+        # islands of 6 words each -> full coverage
+        r = self._run(spark, ["p q r s t u p q r s t u"])[0]
+        assert r["n_spans"] == 8
+        assert r["n_dup_spans"] == 4
+        assert r["covered_words"] == 12
+        assert r["dup_cover_frac"] == 1.0
+
+    def test_no_duplicates(self, spark):
+        r = self._run(spark, ["one two three four five six"])[0]
+        assert r["n_dup_spans"] == 0
+        assert r["covered_words"] == 0
+        assert r["dup_cover_frac"] == 0.0
+
+    def test_short_doc_absent(self, spark):
+        # a doc with fewer than n words yields no windows and no row
+        # (same contract as the SQL oracle)
+        out = self._run(spark, ["a b c", "v w x y z v w x y z"])
+        assert 0 not in out
+        assert out[1]["n_spans"] == 6
+
+
 class TestPiiScrub:
     def _run(self, spark, texts):
         from s2geo_spark.operators.textops import pii_scrub
