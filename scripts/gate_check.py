@@ -90,6 +90,13 @@ def main():
                   flush=True)
     bad = [k for k, v in results.items() if v.get("match") is False]
     print(json.dumps({"total": len(results), "bad": bad}), flush=True)
+    # persist the full artifact so a complete pre-driver gate run is on
+    # record even when the driver's own window checks a query subset
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CORRECTNESS_local.json")
+    with open(out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "total": len(results), "bad": bad,
+                   "results": results}, f, indent=1, sort_keys=True)
     spark.stop()
     sys.exit(1 if bad else 0)
 
