@@ -3337,6 +3337,49 @@ GROUP BY c.doc_id
 """
 
 
+def q_text_model_score(spark, sf_dir):
+    """Hashed-n-gram linear quality scorer (r5): the fasttext-style
+    keep/drop model pass (CCNet/RedPajama-style filters). Unigrams and
+    bigrams hash into 997 buckets; a deterministic dyadic-rational
+    weight per bucket makes the mean score EXACT in double, so the
+    oracle matches bit-for-bit with no float tolerance.
+
+    One map-only Catalyst projection (transform + aggregate over the
+    token array — no explode, no shuffle): per-doc model scoring at
+    100 TB is embarrassingly parallel and this plan keeps it that way."""
+    from .operators.textops import hash_ngram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_ngram_score(docs)
+
+
+def o_text_model_score():
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, len(w) AS n_tokens,
+    list_concat(
+      list_transform(w, x ->
+        (((('0x' || substr(md5(x), 1, 15))::BIGINT % 997)
+          * 40503 + 17) % 1024) / 1024.0 - 0.5),
+      list_transform(generate_series(1, greatest(len(w) - 1, 0)), i ->
+        (((('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT
+           % 997) * 40503 + 17) % 1024) / 1024.0 - 0.5)
+    ) AS f
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       coalesce(list_sum(f), 0.0) / greatest(n_tokens * 2 - 1, 1) AS score,
+       (coalesce(list_sum(f), 0.0)
+        / greatest(n_tokens * 2 - 1, 1)) > 0 AS keep
+FROM feats
+"""
+
+
 def q_text_span_dedup(spark, sf_dir):
     """C4-style duplicated-span statistics (r5): per doc, how many of
     its sliding 5-word windows occur more than once corpus-wide and the
@@ -4465,7 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_customers": q_top_customers,
         "text_pii_scrub": q_text_pii_scrub,
         "text_span_dedup": q_text_span_dedup,
-        "s2_pip_join": q_pip_join,
+        "text_model_score": q_text_model_score,
         "s2_pip_large": q_pip_large,
         "s2_edge_crossings": q_edge_crossings,
         "s2_boolean_counts": q_boolean_counts,
@@ -4524,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_counts": q_pip_counts,
         "s2_quad_counts": q_quad_counts,
         "s2_cap_join": q_cap_join,
+        "s2_pip_join": q_pip_join,
     }
 
 
@@ -4533,10 +4577,11 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": o_text_pii_scrub(),
         "text_span_dedup": o_text_span_dedup(),
         "s2_cap_counts": o_cap_counts(),
-        "s2_pip_join": o_pip_join(),
+        "text_model_score": o_text_model_score(),
         "s2_pip_counts": o_pip_counts(),
         "s2_quad_counts": o_quad_counts(),
         "s2_cap_join": o_cap_join(),
+        "s2_pip_join": o_pip_join(),
         "s2_pip_large": o_pip_large(),
         "s2_edge_crossings": o_edge_crossings(),
         "s2_boolean_counts": o_boolean_counts(),

@@ -113,6 +113,61 @@ def word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
     )
 
 
+def hash_ngram_score(docs: DataFrame, n_buckets: int = 997,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Fasttext-style hashed-n-gram linear scorer — the model-scoring
+    pass a web pipeline runs to keep/drop documents (CCNet / RedPajama
+    quality filters, public): hash each unigram and bigram into
+    ``n_buckets``, look up a deterministic weight per bucket, and score
+    the doc as the mean feature weight; ``keep`` is the thresholded
+    decision.
+
+    The weight table is a closed-form hash of the bucket id (a stand-in
+    for broadcast-joining a trained table — the data movement is
+    identical, the arithmetic is reproducible in any engine), so a SQL
+    oracle can replay scoring bit-for-bit. Everything is one map-only
+    Catalyst projection: transform + aggregate over the token array, no
+    explode, no shuffle, no Python per row — the ideal 100-TB shape for
+    per-doc model scoring (with a real model, the weight lookup becomes
+    a broadcast map over the same feature stream)."""
+    def bucket(expr: str) -> str:
+        return (f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+                f" % {n_buckets}")
+
+    # deterministic per-bucket weight in [-0.5, 0.5): a fixed LCG-style
+    # mix that both Spark and the SQL oracle compute identically. The
+    # weight is a dyadic rational (k/1024), so per-doc sums are EXACT in
+    # double and the score is independent of summation order — an
+    # engine-neutral contract no float-tolerance can give
+    # NB: 1024.0D, not 1024.0 — Spark parses a bare decimal literal as
+    # DECIMAL and the division would silently truncate to 6 digits
+    def weight(b: str) -> str:
+        return f"((({b}) * 40503 + 17) % 1024) / 1024.0D - 0.5D"
+
+    uni = f"transform(w, x -> {weight(bucket('x'))})"
+    # slice is 1-based but array subscripts are 0-based in Spark SQL:
+    # sliced element i (0-based) pairs with original element w[i + 1]
+    bi = (f"transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+          f" (x, i) -> {weight(bucket(f'''concat(x, ' ', w[i + 1])'''))})")
+    feats = f"concat({uni}, {bi})"
+    score = (f"aggregate({feats}, cast(0.0 as double), (a, x) -> a + x)"
+             f" / greatest(size(w) * 2 - 1, 1)")
+    return docs.select(
+        F.col(id_col),
+        _words(text_col).alias("w"),
+    ).select(
+        id_col,
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(score).alias("score"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "score",
+        (F.col("score") > 0).alias("keep"),
+    )
+
+
 def span_dup_coverage(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """C4-style duplicated-span signal (Raffel et al. 2020 §2.2, public

@@ -127,6 +127,63 @@ class TestRepetitionSignals:
         assert r["dup_word_frac"] == 1.0 - 3.0 / 5
 
 
+class TestHashNgramScore:
+    @staticmethod
+    def _ref_score(text, n_buckets=997):
+        # independent reimplementation: md5-prefix bucket, LCG weight
+        import hashlib
+
+        def wgt(s):
+            b = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n_buckets
+            return ((b * 40503 + 17) % 1024) / 1024.0 - 0.5
+
+        w = [t for t in text.split(" ") if t]
+        feats = [wgt(x) for x in w]
+        feats += [wgt(f"{a} {b}") for a, b in zip(w, w[1:])]
+        return sum(feats) / max(len(w) * 2 - 1, 1)
+
+    def _run(self, spark, texts):
+        from s2geo_spark.operators.textops import hash_ngram_score
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r.asDict() for r in hash_ngram_score(df).collect()
+        }
+
+    def test_matches_python_reference(self, spark):
+        texts = ["the quick brown fox", "lorem ipsum dolor sit amet", "x"]
+        out = self._run(spark, texts)
+        for i, t in enumerate(texts):
+            assert out[i]["score"] == self._ref_score(t), t
+            assert out[i]["keep"] == (self._ref_score(t) > 0)
+
+    def test_empty_doc_scores_zero(self, spark):
+        r = self._run(spark, ["", "   "])
+        for i in (0, 1):
+            assert r[i]["n_tokens"] == 0
+            assert r[i]["score"] == 0.0
+            assert r[i]["keep"] is False
+
+    def test_map_only_plan(self, spark):
+        from s2geo_spark.operators.textops import hash_ngram_score
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            hash_ngram_score(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_score_is_exact_dyadic_sum(self, spark):
+        # weights are k/1024, so score * (2n-1) * 1024 must be an exact
+        # integer — the property that makes the oracle float-tolerance-free
+        out = self._run(spark, ["alpha beta gamma delta epsilon zeta"])
+        r = out[0]
+        v = r["score"] * (r["n_tokens"] * 2 - 1) * 1024
+        assert v == round(v)
+
+
 class TestSpanDupCoverage:
     def _run(self, spark, texts, n=5):
         from s2geo_spark.operators.textops import span_dup_coverage
