@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_jaccard_pairs",
     "dedup_clusters",
+    "text_span_dedup",
+    "text_model_score",
     "text_fingerprint",
     "events_windowed",
     "embedding_topk",

@@ -3337,6 +3337,41 @@ GROUP BY c.doc_id
 """
 
 
+def q_text_pack(spark, sf_dir):
+    """Sequence packing (r5): global token offsets + fixed-length chunk
+    assignment for the "concat and cut every 2048 tokens" pretraining
+    layout, via the two-phase distributed prefix sum (per-partition
+    running sums in parallel; only the one-row-per-partition totals pass
+    through a global window) — the naive global-ordered Window would run
+    the whole corpus in one task."""
+    from .operators.textops import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=2048)
+
+
+def o_text_pack():
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM toks
+)
+SELECT doc_id, n_tokens, o AS offset,
+       o // 2048 AS chunk_id,
+       o % 2048 AS pos_in_chunk,
+       greatest(0, (o + n_tokens - 1) // 2048 - o // 2048) AS n_splits
+FROM off
+"""
+
+
 def q_text_model_score(spark, sf_dir):
     """Hashed-n-gram linear quality scorer (r5): the fasttext-style
     keep/drop model pass (CCNet/RedPajama-style filters). Unigrams and
@@ -4509,7 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_span_dedup": q_text_span_dedup,
         "text_model_score": q_text_model_score,
-        "s2_pip_large": q_pip_large,
+        "text_pack": q_text_pack,
         "s2_edge_crossings": q_edge_crossings,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
@@ -4568,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_quad_counts": q_quad_counts,
         "s2_cap_join": q_cap_join,
         "s2_pip_join": q_pip_join,
+        "s2_pip_large": q_pip_large,
     }
 
 
@@ -4583,6 +4619,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cap_join": o_cap_join(),
         "s2_pip_join": o_pip_join(),
         "s2_pip_large": o_pip_large(),
+        "text_pack": o_text_pack(),
         "s2_edge_crossings": o_edge_crossings(),
         "s2_boolean_counts": o_boolean_counts(),
         "s2_boolean_degenerate": o_boolean_degenerate(),

@@ -113,6 +113,71 @@ def word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
     )
 
 
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Sequence packing for pretraining-data prep (the GPT-style "concat
+    all docs in a fixed order and cut every ``seq_len`` tokens" layout):
+    assign every doc its global token offset, the training chunk its
+    first token lands in, the position within that chunk, and how many
+    chunk boundaries it straddles.
+
+    The global running sum is the scale problem: a naive
+    ``Window.orderBy(id)`` with no partition key collapses the whole
+    corpus into ONE task. This runs the classic two-phase distributed
+    prefix sum instead: range-repartition by id (so partition order ==
+    id order), per-partition running sums in parallel, then a
+    partition-count-sized aggregate of per-partition totals is window-
+    summed (tiny — one row per partition) and broadcast back as base
+    offsets. Offsets are identical for ANY partitioning of the same
+    input — range boundaries cancel out of a prefix sum."""
+    toks = docs.select(
+        F.col(id_col), F.size(_words(text_col)).cast("long").alias("n_tokens")
+    ).repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
+    part = toks.withColumn("_pid", F.spark_partition_id())
+    totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_t"))
+    wtot = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(wtot), F.lit(0)).alias("_base")
+    )
+    wpart = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.withColumn(
+            "_local", F.coalesce(F.sum("n_tokens").over(wpart), F.lit(0))
+        )
+        .join(F.broadcast(bases), "_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_base") + F.col("_local")).alias("offset"),
+            F.floor((F.col("_base") + F.col("_local")) / seq_len)
+            .cast("long")
+            .alias("chunk_id"),
+            ((F.col("_base") + F.col("_local")) % seq_len).alias(
+                "pos_in_chunk"
+            ),
+            # boundaries strictly inside (offset, offset + n_tokens)
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_base") + F.col("_local")
+                     + F.col("n_tokens") - 1) / seq_len
+                ).cast("long")
+                - F.floor(
+                    (F.col("_base") + F.col("_local")) / seq_len
+                ).cast("long"),
+            ).alias("n_splits"),
+        )
+    )
+
+
 def hash_ngram_score(docs: DataFrame, n_buckets: int = 997,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

@@ -127,6 +127,58 @@ class TestRepetitionSignals:
         assert r["dup_word_frac"] == 1.0 - 3.0 / 5
 
 
+class TestPackSequences:
+    def _run(self, spark, token_counts, seq_len=10):
+        from s2geo_spark.operators.textops import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["t"] * n)) for i, n in enumerate(token_counts)],
+            "doc_id long, text string",
+        )
+        return {
+            r["doc_id"]: r.asDict()
+            for r in pack_sequences(df, seq_len=seq_len).collect()
+        }
+
+    def test_hand_computed_offsets(self, spark):
+        # token counts [4, 7, 3, 12] at L=10:
+        # offsets 0,4,11,14; chunks 0,0,1,1; splits 0,1,0,1
+        out = self._run(spark, [4, 7, 3, 12])
+        got = [
+            (out[i]["offset"], out[i]["chunk_id"],
+             out[i]["pos_in_chunk"], out[i]["n_splits"])
+            for i in range(4)
+        ]
+        assert got == [(0, 0, 0, 0), (4, 0, 4, 1), (11, 1, 1, 0),
+                       (14, 1, 4, 1)]
+
+    def test_partition_count_invariant(self, spark):
+        # range boundaries cancel out of a prefix sum: any shuffle
+        # partition count yields identical offsets
+        counts = [3, 9, 1, 14, 6, 2, 8, 5]
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            a = self._run(spark, counts)
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            b = self._run(spark, counts)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b
+
+    def test_total_conservation(self, spark):
+        counts = [5, 0, 11, 7]
+        out = self._run(spark, counts)
+        last = out[3]
+        assert last["offset"] + last["n_tokens"] == sum(counts)
+
+    def test_zero_token_doc(self, spark):
+        out = self._run(spark, [10, 0, 4])
+        r = out[1]
+        assert r["n_tokens"] == 0 and r["offset"] == 10
+        assert r["n_splits"] == 0
+
+
 class TestHashNgramScore:
     @staticmethod
     def _ref_score(text, n_buckets=997):
