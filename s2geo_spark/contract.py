@@ -3337,6 +3337,36 @@ GROUP BY c.doc_id
 """
 
 
+def q_text_domain_cap(spark, sf_dir):
+    """Per-domain cap (r5): keep the 10 deterministically-sampled docs
+    per source — the de-biasing pass that stops a single crawl domain
+    from dominating the training mix. One shuffle on the domain key,
+    8-byte priority hashes, bounded per-task sort."""
+    from .operators.textops import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(docs, k=10)
+
+
+def o_text_domain_cap():
+    return """
+WITH pri AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS prio
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, prio,
+         row_number() OVER (PARTITION BY source ORDER BY prio, doc_id)
+           AS rank
+  FROM pri
+)
+SELECT doc_id, source, prio, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_text_pack(spark, sf_dir):
     """Sequence packing (r5): global token offsets + fixed-length chunk
     assignment for the "concat and cut every 2048 tokens" pretraining
@@ -4545,7 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": q_text_span_dedup,
         "text_model_score": q_text_model_score,
         "text_pack": q_text_pack,
-        "s2_edge_crossings": q_edge_crossings,
+        "text_domain_cap": q_text_domain_cap,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
@@ -4604,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_join": q_cap_join,
         "s2_pip_join": q_pip_join,
         "s2_pip_large": q_pip_large,
+        "s2_edge_crossings": q_edge_crossings,
     }
 
 
@@ -4619,8 +4650,9 @@ def oracle_sql() -> dict[str, str]:
         "s2_cap_join": o_cap_join(),
         "s2_pip_join": o_pip_join(),
         "s2_pip_large": o_pip_large(),
-        "text_pack": o_text_pack(),
         "s2_edge_crossings": o_edge_crossings(),
+        "text_pack": o_text_pack(),
+        "text_domain_cap": o_text_domain_cap(),
         "s2_boolean_counts": o_boolean_counts(),
         "s2_boolean_degenerate": o_boolean_degenerate(),
         "s2_buffer_contains": o_buffer_contains(),

@@ -113,6 +113,33 @@ def word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
     )
 
 
+def domain_cap(docs: DataFrame, k: int = 10, domain_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain cap (the Dolma/C4-style "keep at most k docs per
+    domain" de-biasing pass): keep the k docs whose deterministic
+    priority hash (md5 of the id) sorts first within each domain — a
+    reproducible uniform sample, independent of row order.
+
+    Scale shape: one shuffle on the domain key, then a per-domain
+    window sort of (8-byte prio, id) pairs. Domains distribute across
+    tasks by hash; even a 10M-page mega-domain sorts ~160 MB in one
+    task, so no salting is needed for real web-domain distributions.
+    (For adversarial single-key corpora the refinement is a per-domain
+    count + broadcast prio threshold that prefilters to ~k x slack
+    survivors before the exact window — same output, bounded task.)"""
+    prio = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(domain_col).orderBy("prio", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(domain_col), prio.alias("prio"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, domain_col, "prio",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

@@ -127,6 +127,39 @@ class TestRepetitionSignals:
         assert r["dup_word_frac"] == 1.0 - 3.0 / 5
 
 
+class TestDomainCap:
+    def test_cap_and_determinism(self, spark):
+        from s2geo_spark.operators.textops import domain_cap
+
+        rows = [(i, f"d{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = domain_cap(df, k=4).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["source"], []).append(r)
+        assert set(by_dom) == {"d0", "d1", "d2"}
+        for docs in by_dom.values():
+            assert len(docs) == 4
+            assert sorted(r["rank"] for r in docs) == [1, 2, 3, 4]
+            # kept set is the 4 smallest priority hashes — reproducible
+            assert [r["doc_id"] for r in sorted(docs, key=lambda r: r["rank"])] \
+                == [r["doc_id"] for r in sorted(docs, key=lambda r: (r["prio"], r["doc_id"]))]
+        # shuffled input order yields the identical kept set
+        df2 = spark.createDataFrame(list(reversed(rows)), "doc_id long, source string")
+        out2 = domain_cap(df2, k=4).collect()
+        assert sorted((r["doc_id"], r["rank"]) for r in out2) \
+            == sorted((r["doc_id"], r["rank"]) for r in out)
+
+    def test_small_domain_kept_whole(self, spark):
+        from s2geo_spark.operators.textops import domain_cap
+
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, "tiny")], "doc_id long, source string"
+        )
+        out = domain_cap(df, k=10).collect()
+        assert len(out) == 2
+
+
 class TestPackSequences:
     def _run(self, spark, token_counts, seq_len=10):
         from s2geo_spark.operators.textops import pack_sequences
