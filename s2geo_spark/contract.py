@@ -4554,6 +4554,183 @@ SELECT rank, custkey, spend_scaled FROM (
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Link-graph PageRank (r5): fixed-point int64 power iteration over a
+    deterministic synthetic crawl graph (every web-corpus pipeline ranks
+    hosts/pages by link centrality before sampling).  4 iterations; each
+    is one join keyed on src + one map-side-combining sum keyed on dst —
+    the rank vector is the only thing that moves, and integer arithmetic
+    makes the result bit-identical under any partitioning (and SQL-
+    replayable with the iterations unrolled)."""
+    from .operators.graph import pagerank, synth_links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_links(docs)
+    ranks = pagerank(docs.select(F.col("doc_id")), edges, iters=4,
+                     id_col="doc_id")
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
+def o_graph_pagerank():
+    base = 150_000_000  # (100-85)% of scale 1e9
+    it = """
+s{t} AS (
+  SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS m
+  FROM edges e JOIN r{p} r ON r.node = e.src GROUP BY e.dst
+),
+r{t} AS (
+  SELECT d.doc_id AS node,
+         CAST({b} + (85 * coalesce(s.m, CAST(0 AS BIGINT))) // 100
+              AS BIGINT) AS rank
+  FROM documents d LEFT JOIN s{t} s ON s.node = d.doc_id
+)"""
+    iters = ",".join(it.format(t=t, p=t - 1, b=base) for t in range(1, 5))
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+deg AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(1 + (('0x' || substr(md5('deg:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 4) AS BIGINT) AS outdeg
+  FROM documents
+),
+dj AS (
+  SELECT src, outdeg, unnest(generate_series(1, outdeg)) AS j FROM deg
+),
+edges AS (
+  SELECT src, outdeg,
+         ('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+                             || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT n FROM nn) AS dst
+  FROM dj
+),
+r0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS node,
+         CAST(1000000000 AS BIGINT) AS rank
+  FROM documents
+),
+{iters}
+SELECT node AS doc_id, rank FROM r4
+"""
+
+
+_BM25_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_fast_scan", ["fast", "scan"]),
+    ("q_window_agg_merge", ["window", "agg", "merge"]),
+    ("q_slow_vector", ["slow", "vector"]),
+]
+
+
+def q_search_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval (r5): the inverted-index posting-list plan
+    re-expressed relationally — tokenize, broadcast-filter to query
+    terms, tf/df aggregates, per-query top-k window.  Per-term scores
+    are quantized to int64 before the per-doc sum so the ranking is
+    aggregation-order-exact and the oracle replays it bit-for-bit."""
+    from .operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+def o_search_bm25():
+    from .operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_QUERIES, k=10)
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct texts per source (r5): m=64 registers over a
+    60-bit md5 hash; the register rollup is ONE map-side-combining
+    aggregate (sketches merge by max), the estimate one double division.
+    The sketch state T is an exact int64 so the oracle hash-matches; the
+    exact distinct count rides along as the accuracy reference."""
+    from .operators.search import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs, "source", F.col("text"))
+
+
+def o_sketch_hll():
+    from .operators.search import hll_oracle_sql
+
+    return hll_oracle_sql("source", "text", "documents")
+
+
+_MERC_LAT_RAD = "0.017453292519943295"  # pi/180, identical literal both sides
+_MERC_PI = "3.141592653589793"
+
+
+def q_geo_xyz_tiles(spark, sf_dir):
+    """Web-mercator XYZ tile rollup at z=6 (r5): the slippy-map tiling
+    every web-map/geo-sharding stack uses, as a pure-Catalyst projection
+    + groupBy (no Python, no shuffle beyond the final count).  Includes
+    the Bing quadkey string (interleaved tile bits) for prefix-range
+    sharding.  Oracle replays the identical double expression tree."""
+    pts = _points_df(spark, sf_dir, "events", "event_id")
+    z, n = 6, 64
+    xt = F.expr(
+        f"least(greatest(CAST(floor(((CAST(lon AS DOUBLE)"
+        f" + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE))"
+        f" * CAST({n}.0 AS DOUBLE)) AS BIGINT), CAST(0 AS BIGINT)),"
+        f" CAST({n - 1} AS BIGINT))"
+    )
+    yt = F.expr(
+        f"least(greatest(CAST(floor(((CAST(1.0 AS DOUBLE)"
+        f" - ln(tan(CAST(lat AS DOUBLE) * CAST({_MERC_LAT_RAD} AS DOUBLE))"
+        f"      + (CAST(1.0 AS DOUBLE)"
+        f"         / cos(CAST(lat AS DOUBLE)"
+        f"               * CAST({_MERC_LAT_RAD} AS DOUBLE))))"
+        f"   / CAST({_MERC_PI} AS DOUBLE)) / CAST(2.0 AS DOUBLE))"
+        f" * CAST({n}.0 AS DOUBLE)) AS BIGINT), CAST(0 AS BIGINT)),"
+        f" CAST({n - 1} AS BIGINT))"
+    )
+    digits = [
+        f"CAST(((tile_x >> {z - 1 - i}) & 1)"
+        f" + 2 * ((tile_y >> {z - 1 - i}) & 1) AS STRING)"
+        for i in range(z)
+    ]
+    quadkey = F.expr("concat(" + ", ".join(digits) + ")")
+    return (
+        pts.select(xt.alias("tile_x"), yt.alias("tile_y"))
+        .withColumn("quadkey", quadkey)
+        .groupBy("tile_x", "tile_y", "quadkey")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("z", F.lit(6).cast("long"))
+    )
+
+
+def o_geo_xyz_tiles():
+    z, n = 6, 64
+    digits = ", ".join(
+        f"CAST(((tile_x >> {z - 1 - i}) & 1)"
+        f" + 2 * ((tile_y >> {z - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(z)
+    )
+    return f"""
+WITH pts AS ({geo.points_sql("events", "event_id")}),
+t AS (
+  SELECT
+    least(greatest(CAST(floor(((CAST(lon AS DOUBLE)
+      + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE))
+      * CAST({n}.0 AS DOUBLE)) AS BIGINT), CAST(0 AS BIGINT)),
+      CAST({n - 1} AS BIGINT)) AS tile_x,
+    least(greatest(CAST(floor(((CAST(1.0 AS DOUBLE)
+      - ln(tan(CAST(lat AS DOUBLE) * CAST({_MERC_LAT_RAD} AS DOUBLE))
+           + (CAST(1.0 AS DOUBLE)
+              / cos(CAST(lat AS DOUBLE)
+                    * CAST({_MERC_LAT_RAD} AS DOUBLE))))
+        / CAST({_MERC_PI} AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+      * CAST({n}.0 AS DOUBLE)) AS BIGINT), CAST(0 AS BIGINT)),
+      CAST({n - 1} AS BIGINT)) AS tile_y
+  FROM pts
+)
+SELECT tile_x, tile_y, concat({digits}) AS quadkey,
+       count(*) AS cnt, CAST(6 AS BIGINT) AS z
+FROM t GROUP BY tile_x, tile_y
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4577,10 +4754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_model_score": q_text_model_score,
         "text_pack": q_text_pack,
         "text_domain_cap": q_text_domain_cap,
-        "s2_boolean_counts": q_boolean_counts,
-        "s2_boolean_degenerate": q_boolean_degenerate,
-        "s2_buffer_contains": q_buffer_contains,
-        "s2_winding_counts": q_winding_counts,
+        "graph_pagerank": q_graph_pagerank,
+        "search_bm25": q_search_bm25,
+        "sketch_hll_distinct": q_sketch_hll,
+        "geo_xyz_tiles": q_geo_xyz_tiles,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
         "s2_distance_join": q_distance_join,
@@ -4623,8 +4800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": q_top_events,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
-        # --- tail (positions 51+): stable since r1 (driver-green every
-        # round they were in the window), rotate back next round
+        # --- tail (positions 51+): stable multi-round driver-green,
+        # rotate back next round
+        "s2_boolean_counts": q_boolean_counts,
+        "s2_boolean_degenerate": q_boolean_degenerate,
+        "s2_buffer_contains": q_buffer_contains,
+        "s2_winding_counts": q_winding_counts,
         "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
         "s2_face_counts": q_face_counts,
@@ -4707,6 +4888,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": o_embedding_ivf(),
         "olap_lineitem_rollup": o_lineitem_rollup(),
         "olap_top_customers": o_top_customers(),
+        "graph_pagerank": o_graph_pagerank(),
+        "search_bm25": o_search_bm25(),
+        "sketch_hll_distinct": o_sketch_hll(),
+        "geo_xyz_tiles": o_geo_xyz_tiles(),
     }
 
 

@@ -1,0 +1,270 @@
+"""Corpus search & cardinality operators: BM25 top-k retrieval and a
+HyperLogLog distinct-count sketch.
+
+BM25 (Robertson/Sparck-Jones, public) is the standard lexical ranking
+function; a training-data pipeline uses it for targeted corpus slicing
+("pull the top documents for these seed queries") and for building
+retrieval-augmented eval sets.  The plan is the inverted-index shape
+re-expressed relationally: tokenize -> explode -> broadcast-join the
+(tiny) query-term table -> per-(doc,term) tf -> per-term df -> score ->
+per-query top-k window.  Everything after the explode touches only rows
+whose token IS a query term, so the shuffled volume is the posting
+lists, not the corpus.
+
+Determinism contract: floats appear only in per-(term,doc) scalar
+expressions whose operation sequence is written identically in the SQL
+oracle (each IEEE op is correctly rounded, so results are
+bit-identical); per-term scores are quantized to int64 (floor(score *
+2^20)) BEFORE the per-doc sum, so the only cross-row reduction is exact
+integer addition — immune to aggregation order.  The idf uses the
+rational form (N - df + 0.5)/(df + 0.5) WITHOUT the log so the oracle
+needs no transcendental (libm log differs across engines in the last
+ulp; the ranking it induces is monotone-identical for single-term
+weighting comparisons at fixed N).
+
+HyperLogLog (Flajolet et al. 2007, public): m=64 registers over a
+60-bit md5-derived hash.  The register sum is carried as the exact
+integer T = sum_j 2^(55 - rho_j) (common denominator 2^55), so the
+whole sketch state is integer-exact and order-independent; the raw
+estimate alpha*m^2*2^55 / T is one double division at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _words(text_col: str) -> F.Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[str, list[str]]],
+              k: int = 10, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-k docs per query under quantized rational-idf BM25
+    (k1 = 1.2, b = 0.75 — the textbook defaults).
+
+    Returns (query, rank, doc_id, score) where score is the int64
+    quantized BM25 sum.  Scale shape: corpus-side work is one map-side
+    tokenize+explode immediately filtered by a broadcast hash join
+    against the O(#query terms) term table; tf/df aggregations are
+    map-side combining sums on (term, doc) / (term); the final top-k is
+    a per-query window over only the matching docs.
+    """
+    spark = docs.sparkSession
+    terms = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "query string, term string"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _words(text_col).alias("w")
+    ).select("doc_id", F.explode("w").alias("term"))
+    # dl / avgdl / N from one corpus stats pass (ints; avgdl derived
+    # identically in the oracle as CAST(sum AS DOUBLE)/CAST(n AS DOUBLE)).
+    dl = docs.select(F.col(id_col).alias("doc_id"),
+                     F.size(_words(text_col)).cast("long").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("sum_dl")).collect()[0]
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+
+    tf = (
+        toks.join(F.broadcast(terms.select("term").distinct()), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    # Per-(term, doc) quantized score.  The float expression tree below
+    # is mirrored token-for-token in the oracle SQL: every intermediate
+    # is a correctly-rounded IEEE double op on identical inputs.
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "qs",
+            F.expr(
+                f"""CAST(floor(
+                  (((CAST({n_docs} - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+                  / (CAST(tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+                            / (CAST({sum_dl} AS DOUBLE)
+                               / CAST({n_docs} AS DOUBLE))))
+                  * CAST(1048576.0 AS DOUBLE)) AS BIGINT)"""
+            ),
+        )
+    )
+    per_doc = (
+        scored.join(F.broadcast(terms), "term")
+        .groupBy("query", "doc_id")
+        .agg(F.sum("qs").alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query", "rank", "doc_id", "score")
+    )
+
+
+def bm25_oracle_sql(queries: list[tuple[str, list[str]]], k: int = 10,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB replay of bm25_topk with the identical float op sequence."""
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in queries for t in ts
+    )
+    return f"""
+WITH qt(query, term) AS (VALUES {vals}),
+toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(string_split({text_col}, ' '), w -> w <> '')) AS term
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col} AS doc_id,
+         CAST(len(list_filter(string_split({text_col}, ' '), w -> w <> ''))
+              AS BIGINT) AS dl
+  FROM {table}
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+),
+tf AS (
+  SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+  GROUP BY t.term, t.doc_id
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+    CAST(floor(
+      (((CAST(s.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+      / (CAST(tf.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE)
+           * (CAST(0.25 AS DOUBLE)
+              + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE))
+                / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+      * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS qs
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+),
+per_doc AS (
+  SELECT qt.query, scored.doc_id, CAST(sum(scored.qs) AS BIGINT) AS score
+  FROM scored JOIN qt USING (term)
+  GROUP BY qt.query, scored.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query
+                                 ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM per_doc
+)
+SELECT query, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col,
+                 p: int = 6) -> DataFrame:
+    """HyperLogLog distinct-count per group, exact-integer sketch state.
+
+    m = 2^p registers (p=6 -> 64); item hash = 60-bit md5 int; register
+    j = hash % m; rho = leading-zero count of the remaining (60-p) bits
+    plus 1 (so 1..(61-p)); empty register contributes rho = 0.  Returns
+    (group, n_exact, hll_t, hll_estimate) where hll_t =
+    sum_j 2^(RHOCAP - rho_j) with RHOCAP = 61 - p (exact int64: at most
+    m * 2^RHOCAP = 2^(RHOCAP+p) = 2^61), and hll_estimate =
+    alpha_m * m^2 * 2^RHOCAP / T — one double division.
+
+    Scale shape: ONE map-side-combining aggregate over (group, register)
+    then a tiny per-group rollup — the sketch is mergeable by max(), so
+    this is exactly the two-level combine a 1000-executor groupBy does
+    for free.  n_exact (countDistinct) rides along for the accuracy
+    check; at 100 TB you would drop it and keep only the sketch.
+    """
+    m = 1 << p
+    rhocap = 61 - p  # max rho: hash < 2^60, remainder has 60-p bits
+    h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
+    rem = F.expr(f"h div {m}")
+    rho = F.when(rem == 0, F.lit(rhocap)).otherwise(
+        F.lit(rhocap) - F.length(F.bin(rem))
+    )
+    regs = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .select("grp", F.expr(f"h % {m}").alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mr"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST({rhocap} - mr AS INT))")).alias("t_seen"),
+            F.count("*").alias("n_regs"),
+        )
+        .select(
+            "grp",
+            (F.col("t_seen")
+             + (F.lit(m) - F.col("n_regs"))
+             * F.lit(1 << rhocap).cast("long")).alias("hll_t"),
+        )
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    alpha_num = 0.709  # alpha_64 (Flajolet et al., m >= 64 constant)
+    est = F.expr(
+        f"((CAST({alpha_num} AS DOUBLE) * CAST({float(m * m)} AS DOUBLE))"
+        f" * CAST({float(1 << rhocap)} AS DOUBLE)) / CAST(hll_t AS DOUBLE)"
+    )
+    return (
+        exact.join(regs, "grp")
+        .select(F.col("grp").alias(group_col), "n_exact", "hll_t",
+                est.alias("hll_estimate"))
+    )
+
+
+def hll_oracle_sql(group_col: str, value_expr: str, table: str,
+                   p: int = 6) -> str:
+    """DuckDB replay of hll_distinct (identical integer sketch + one
+    double division)."""
+    m = 1 << p
+    rhocap = 61 - p
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substr(md5({value_expr}), 1, 15))::BIGINT AS h
+  FROM {table}
+),
+r AS (
+  SELECT grp, h % {m} AS reg,
+         CASE WHEN h // {m} = 0 THEN {rhocap}
+              ELSE {rhocap} - length(bin(h // {m})) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT grp, reg, max(rho) AS mr FROM r GROUP BY grp, reg
+),
+t AS (
+  SELECT grp,
+         CAST(sum(CAST(1 AS BIGINT) << ({rhocap} - mr)) AS BIGINT)
+           + ({m} - CAST(count(*) AS BIGINT))
+             * (CAST(1 AS BIGINT) << {rhocap}) AS hll_t
+  FROM regs GROUP BY grp
+),
+ex AS (
+  SELECT {group_col} AS grp, CAST(count(DISTINCT {value_expr}) AS BIGINT)
+           AS n_exact
+  FROM {table} GROUP BY {group_col}
+)
+SELECT ex.grp AS {group_col}, ex.n_exact, t.hll_t,
+       ((CAST(0.709 AS DOUBLE) * CAST({float(m * m)} AS DOUBLE))
+        * CAST({float(1 << rhocap)} AS DOUBLE)) / CAST(t.hll_t AS DOUBLE)
+         AS hll_estimate
+FROM ex JOIN t USING (grp)
+"""
