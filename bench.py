@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "events_windowed",
     "embedding_topk",
     "olap_lineitem_rollup",
+    "graph_pagerank",
+    "search_bm25",
 ]
 
 

@@ -4731,6 +4731,57 @@ FROM t GROUP BY tile_x, tile_y
 """
 
 
+def q_sketch_count_min(spark, sf_dir):
+    """Count-min sketch heavy hitters (r5): 4x256 integer counters over
+    word occurrences — the mergeable frequency sketch used for
+    heavy-hitter tracking in streaming corpus stats.  The sketch state
+    is exact integer addition (one map-side-combining agg over <=1024
+    cells), so the oracle hash-matches both the estimates and the exact
+    top-15 reference ranking."""
+    from .operators.search import count_min_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return count_min_heavy_hitters(docs, top_n=15)
+
+
+def o_sketch_count_min():
+    from .operators.search import count_min_oracle_sql
+
+    return count_min_oracle_sql(top_n=15)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exact-fraction stratified sample (r5): keep ceil(10%) of each
+    language stratum by deterministic md5 priority — the quota-exact,
+    reproducible sampling pass a training-mix builder needs (Bernoulli
+    sampling drifts per stratum).  One shuffle on the stratum key; all
+    integer arithmetic."""
+    from .operators.search import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", frac_pct=10)
+
+
+def o_sample_stratified():
+    return """
+WITH pri AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS prio
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, prio,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id)
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_stratum
+  FROM pri
+)
+SELECT doc_id, lang, prio, rnk, n_stratum
+FROM r WHERE rnk <= (n_stratum * 10 + 99) // 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4757,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "search_bm25": q_search_bm25,
         "sketch_hll_distinct": q_sketch_hll,
+        "sketch_count_min": q_sketch_count_min,
+        "sample_stratified": q_sample_stratified,
         "geo_xyz_tiles": q_geo_xyz_tiles,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
@@ -4765,8 +4818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
-        "s2_cap_covering": q_cap_covering,
-        "s2_cap_interior": q_cap_interior,
         "s2_simple_covering": q_simple_covering,
         "s2_canonicalize": q_canonicalize,
         "s2_dtw_align": q_dtw,
@@ -4806,6 +4857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
         "s2_winding_counts": q_winding_counts,
+        "s2_cap_covering": q_cap_covering,
+        "s2_cap_interior": q_cap_interior,
         "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
         "s2_face_counts": q_face_counts,
@@ -4892,6 +4945,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": o_search_bm25(),
         "sketch_hll_distinct": o_sketch_hll(),
         "geo_xyz_tiles": o_geo_xyz_tiles(),
+        "sketch_count_min": o_sketch_count_min(),
+        "sample_stratified": o_sample_stratified(),
     }
 
 

@@ -268,3 +268,133 @@ SELECT ex.grp AS {group_col}, ex.n_exact, t.hll_t,
          AS hll_estimate
 FROM ex JOIN t USING (grp)
 """
+
+
+def count_min_heavy_hitters(docs: DataFrame, top_n: int = 15,
+                            depth: int = 4, width: int = 256,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) word
+    frequencies, reported for the exact top-``top_n`` words.
+
+    Sketch = depth x width integer counters; counter (j, md5('j:'||w) %
+    width) accumulates every occurrence of w; the estimate for w is the
+    min over the depth rows (always >= the true count; collisions only
+    inflate).  The whole sketch state is exact integer addition — ONE
+    map-side-combining aggregate over (row, bucket), mergeable across
+    any partitioning, and replayable in SQL.  The exact top-n ranking
+    (count desc, word) rides along as the accuracy reference, and the
+    oracle hash-matches both.
+
+    Scale shape: the corpus-side pass is tokenize -> explode -> a
+    depth-way posexplode onto (row, bucket) keys -> groupBy over at most
+    depth*width cells.  At 100 TB the combine happens map-side into
+    <= 1024 cells per task; the shuffle moves only those cells.
+    """
+    toks = docs.select(F.explode(_words(text_col)).alias("w"))
+    buckets = F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("w"))), 1, 15), 16, 10)
+         .cast("long") % width).alias(f"b{j}")
+        for j in range(depth)
+    ])
+    sketch = (
+        toks.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        toks.groupBy("w").agg(F.count("*").alias("exact_cnt"))
+    )
+    from pyspark.sql.window import Window as W
+    top = (
+        exact.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("exact_cnt"), F.asc("w"))).cast("long"),
+        )
+        .where(F.col("rnk") <= top_n)
+    )
+    probes = top.select(
+        "w", "exact_cnt", "rnk",
+        F.posexplode(buckets).alias("j", "bucket"),
+    )
+    return (
+        probes.join(sketch, ["j", "bucket"])
+        .groupBy("w", "exact_cnt", "rnk")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(F.col("w").alias("word"), F.col("rnk").alias("rank"),
+                "exact_cnt", "cms_estimate")
+    )
+
+
+def count_min_oracle_sql(top_n: int = 15, depth: int = 4, width: int = 256,
+                         table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB replay of count_min_heavy_hitters (all-integer)."""
+    bucket = (
+        "('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 15))::BIGINT"
+        f" % {width}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+           AS w
+  FROM {table}
+),
+tj AS (
+  SELECT w, unnest(generate_series(0, {depth - 1})) AS j FROM toks
+),
+cells AS (
+  SELECT j, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM tj GROUP BY j, {bucket}
+),
+exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY w),
+top AS (
+  SELECT w, exact_cnt,
+         CAST(row_number() OVER (ORDER BY exact_cnt DESC, w) AS BIGINT)
+           AS rnk
+  FROM exact QUALIFY rnk <= {top_n}
+),
+probes AS (
+  SELECT w, exact_cnt, rnk, unnest(generate_series(0, {depth - 1})) AS j
+  FROM top
+),
+est AS (
+  SELECT p.w, p.exact_cnt, p.rnk, min(c.c) AS cms_estimate
+  FROM (SELECT *, {bucket} AS bucket FROM probes) p
+  JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.w, p.exact_cnt, p.rnk
+)
+SELECT w AS word, rnk AS rank, exact_cnt, cms_estimate FROM est
+"""
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, frac_pct: int = 10,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact-fraction deterministic stratified sample: within each
+    stratum keep the ceil(frac_pct% of stratum size) rows whose md5
+    priority hash sorts first — a reproducible uniform sample with the
+    per-stratum rate pinned exactly (plain Bernoulli sampling drifts per
+    stratum; training mixes need the quota exact).
+
+    One shuffle on the stratum key; the per-stratum window sorts 8-byte
+    (prio, id) pairs.  All integer — SQL-replayable.
+    """
+    prio = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    from pyspark.sql.window import Window as W
+    w_rank = W.partitionBy(stratum_col).orderBy("prio", id_col)
+    w_cnt = W.partitionBy(stratum_col)
+    return (
+        df.select(F.col(id_col), F.col(stratum_col), prio.alias("prio"))
+        .withColumn("n_stratum", F.count("*").over(w_cnt))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .where(
+            F.col("rnk")
+            <= F.expr(f"(n_stratum * {frac_pct} + 99) div 100")
+        )
+        .select(id_col, stratum_col, "prio", "rnk",
+                F.col("n_stratum").cast("long").alias("n_stratum"))
+    )

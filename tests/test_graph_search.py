@@ -192,3 +192,67 @@ class TestXYZTiles:
                 x = (x << 1) | (d & 1)
                 y = (y << 1) | (d >> 1)
             assert (x, y) == (r["tile_x"], r["tile_y"])
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+class TestCountMin:
+    def test_overestimates_and_tracks_heavy_hitters(self, spark):
+        from s2geo_spark.operators.search import count_min_heavy_hitters
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rows = count_min_heavy_hitters(docs, top_n=15).collect()
+        assert len(rows) == 15
+        assert sorted(r["rank"] for r in rows) == list(range(1, 16))
+        for r in rows:
+            # CMS never underestimates; with 4x256 cells vs ~40 distinct
+            # words, collisions are rare so the bound should be tight.
+            assert r["cms_estimate"] >= r["exact_cnt"]
+            assert r["cms_estimate"] <= 3 * r["exact_cnt"]
+
+    def test_sketch_partitioning_invariance(self, spark):
+        from s2geo_spark.operators.search import count_min_heavy_hitters
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = {(r["word"], r["cms_estimate"])
+             for r in count_min_heavy_hitters(docs, top_n=10).collect()}
+        b = {(r["word"], r["cms_estimate"])
+             for r in count_min_heavy_hitters(
+                 docs.repartition(13), top_n=10).collect()}
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample
+# ---------------------------------------------------------------------------
+
+class TestStratifiedSample:
+    def test_exact_quota_per_stratum(self, spark):
+        from s2geo_spark.operators.search import stratified_sample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = stratified_sample(docs, "lang", frac_pct=10)
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(
+                F.count("*").alias("n")).collect()
+        }
+        want = {
+            r["lang"]: (r["n"] * 10 + 99) // 100
+            for r in docs.groupBy("lang").agg(
+                F.count("*").alias("n")).collect()
+        }
+        assert got == want
+
+    def test_deterministic_under_row_order(self, spark):
+        from s2geo_spark.operators.search import stratified_sample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", frac_pct=10).collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs.orderBy(F.desc("doc_id")), "lang",
+                               frac_pct=10).collect()}
+        assert a == b
