@@ -256,3 +256,38 @@ class TestStratifiedSample:
              stratified_sample(docs.orderBy(F.desc("doc_id")), "lang",
                                frac_pct=10).collect()}
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+
+class TestPlans:
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_bm25_term_filter_is_broadcast(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = self._plan(bm25_topk(docs, [("qa", ["hash", "join"])], k=5))
+        # the query-term table is explicitly broadcast-hinted: the corpus
+        # token stream must never shuffle for the term filter
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_count_min_probe_join_no_cartesian(self, spark):
+        from s2geo_spark.operators.search import count_min_heavy_hitters
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = self._plan(count_min_heavy_hitters(docs, top_n=10))
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pagerank_no_cartesian(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        edges = synth_links(docs)
+        df = pagerank(docs.select("doc_id"), edges, iters=2,
+                      id_col="doc_id", checkpoint=False)
+        plan = self._plan(df)
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
