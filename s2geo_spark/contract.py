@@ -4782,6 +4782,96 @@ FROM r WHERE rnk <= (n_stratum * 10 + 99) // 100
 """
 
 
+def q_pipeline_training_mix(spark, sf_dir):
+    """End-to-end training-mix pipeline (r5): the composed pass a corpus
+    builder actually ships — exact dedup (min-id representative per
+    content hash) -> model-score quality filter (keep score > 0) ->
+    per-domain cap (15 per source by deterministic priority) -> sequence
+    packing of the survivors.  Every stage is an existing oracle-checked
+    operator; this query proves they COMPOSE deterministically (the
+    oracle chains the same four stages as CTEs).
+
+    Scale shape: dedup is one shuffle on the content hash; scoring is
+    map-only; the cap is one shuffle on the domain key; packing is the
+    two-phase prefix sum.  No stage collects, no stage broadcasts the
+    corpus."""
+    from .operators.textops import domain_cap, hash_ngram_score, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    rep = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = rep.join(
+        hash_ngram_score(rep).where(F.col("keep")).select("doc_id"),
+        "doc_id",
+    )
+    capped = kept.join(
+        domain_cap(kept, k=15).select("doc_id"), "doc_id"
+    )
+    packed = pack_sequences(capped, seq_len=2048)
+    return (
+        packed.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "offset", "chunk_id")
+    )
+
+
+def o_pipeline_training_mix():
+    return """
+WITH rep AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+feats AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM rep
+),
+scorev AS (
+  SELECT doc_id, text, source, len(w) AS n_tokens,
+    list_concat(
+      list_transform(w, x ->
+        (((('0x' || substr(md5(x), 1, 15))::BIGINT % 997)
+          * 40503 + 17) % 1024) / 1024.0 - 0.5),
+      list_transform(generate_series(1, greatest(len(w) - 1, 0)), i ->
+        (((('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT
+           % 997) * 40503 + 17) % 1024) / 1024.0 - 0.5)
+    ) AS f
+  FROM feats
+),
+kept AS (
+  SELECT doc_id, text, source,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM scorev
+  WHERE coalesce(list_sum(f), 0.0) / greatest(n_tokens * 2 - 1, 1) > 0
+),
+capped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::BIGINT, doc_id) AS rk
+    FROM kept
+  ) WHERE rk <= 15
+),
+off AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM capped
+)
+SELECT doc_id, source, n_tokens, o AS offset, o // 2048 AS chunk_id
+FROM off
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4810,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": q_sketch_hll,
         "sketch_count_min": q_sketch_count_min,
         "sample_stratified": q_sample_stratified,
+        "pipeline_training_mix": q_pipeline_training_mix,
         "geo_xyz_tiles": q_geo_xyz_tiles,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
@@ -4818,7 +4909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
-        "s2_simple_covering": q_simple_covering,
         "s2_canonicalize": q_canonicalize,
         "s2_dtw_align": q_dtw,
         "s2_dtw_medoid": q_dtw_medoid,
@@ -4859,6 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_winding_counts": q_winding_counts,
         "s2_cap_covering": q_cap_covering,
         "s2_cap_interior": q_cap_interior,
+        "s2_simple_covering": q_simple_covering,
         "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
         "s2_face_counts": q_face_counts,
@@ -4947,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_xyz_tiles": o_geo_xyz_tiles(),
         "sketch_count_min": o_sketch_count_min(),
         "sample_stratified": o_sample_stratified(),
+        "pipeline_training_mix": o_pipeline_training_mix(),
     }
 
 
