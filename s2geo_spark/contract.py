@@ -4872,6 +4872,106 @@ FROM off
 """
 
 
+_REV_SCALED = (
+    "CAST(floor((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount))"
+    " * CAST(100.0 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_olap_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (r5): segment-filtered customers x orders x
+    lineitem, top-10 open orders by revenue.  The dimension side
+    (filtered customers) broadcasts; the fact join shuffles once on the
+    order key.  Revenue is scaled to int64 per row BEFORE the sum, so
+    the aggregate is order-exact and the oracle hash-matches."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.expr(_REV_SCALED)).alias("revenue"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("rank", "l_orderkey", "o_orderdate", "revenue")
+    )
+
+
+def o_olap_shipping_priority():
+    return f"""
+SELECT rank, l_orderkey, o_orderdate, revenue FROM (
+  SELECT l.l_orderkey, o.o_orderdate,
+         CAST(sum({_REV_SCALED}) AS BIGINT) AS revenue,
+         CAST(row_number() OVER (
+           ORDER BY sum({_REV_SCALED}) DESC, l.l_orderkey) AS BIGINT)
+           AS rank
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l.l_orderkey, o.o_orderdate
+) WHERE rank <= 10
+"""
+
+
+def q_olap_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape (r5): per-nation revenue where the supplier and
+    customer share the nation, restricted to one region and one order
+    year.  nation/region/supplier broadcast (plan: a chain of
+    BroadcastHashJoins over the single shuffled fact side) — the classic
+    star-join plan that must NOT shuffle the dimensions at 100 TB."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_REV_SCALED)).alias("revenue"))
+        .select("n_name", "revenue")
+    )
+
+
+def o_olap_regional_revenue():
+    return f"""
+SELECT n.n_name, CAST(sum({_REV_SCALED}) AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4902,8 +5002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pipeline_training_mix": q_pipeline_training_mix,
         "geo_xyz_tiles": q_geo_xyz_tiles,
-        "s2_knn": q_knn,
-        "s2_furthest": q_furthest,
+        "olap_shipping_priority": q_olap_shipping_priority,
+        "olap_regional_revenue": q_olap_regional_revenue,
         "s2_distance_join": q_distance_join,
         "s2_stream_tiles": q_stream_tiles,
         "s2_hausdorff": q_hausdorff,
@@ -4950,6 +5050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_covering": q_cap_covering,
         "s2_cap_interior": q_cap_interior,
         "s2_simple_covering": q_simple_covering,
+        "s2_knn": q_knn,
+        "s2_furthest": q_furthest,
         "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
         "s2_face_counts": q_face_counts,
@@ -5039,6 +5141,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_count_min": o_sketch_count_min(),
         "sample_stratified": o_sample_stratified(),
         "pipeline_training_mix": o_pipeline_training_mix(),
+        "olap_shipping_priority": o_olap_shipping_priority(),
+        "olap_regional_revenue": o_olap_regional_revenue(),
     }
 
 
