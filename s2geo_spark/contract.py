@@ -4107,6 +4107,29 @@ def q_media_decode(spark, sf_dir):
                     (n, "pngi", idec["width"], idec["height"],
                      int((idec["pixels"].astype(np.int64) * iwgt).sum()))
                 )
+                # 12-BIT EXTENDED-SEQUENTIAL JPEG (12th kind, late r5):
+                # block-constant GRAYSCALE at quality 75 — the q00=8
+                # integer-exact trick at sample depth 12 (level shift
+                # 2048, quantized DC = v-2048 exactly), so the closed
+                # form predicts every decoded 12-bit pixel while the
+                # decoder runs the full extended-precision Huffman chain
+                # (generated DC-to-15/AC-to-14 tables, uint16 output)
+                tbw, tbh = 1 + n % 3, 1 + (n + 1) % 2
+                tw_, th_ = 8 * tbw, 8 * tbh
+                ty_, tx_ = np.meshgrid(
+                    np.arange(th_), np.arange(tw_), indexing="ij"
+                )
+                tpx = (
+                    (n * 97 + (tx_ // 8) * 173 + (ty_ // 8) * 311) % 4096
+                ).astype(np.uint16)
+                tdec = mm.decode_media(
+                    jpeg_ops.encode_jpeg(tpx, quality=75, precision=12)
+                )
+                rows.append(
+                    (n, "jpeg12", tdec["width"], tdec["height"],
+                     int((tdec["pixels"][:, :, 0].astype(np.int64)
+                          * (1 + tx_ + 2 * ty_)).sum()))
+                )
                 nf, vh, vw = 3 + n % 4, 4 + n % 3, 5 + n % 4
                 t, y, x = np.meshgrid(
                     np.arange(nf), np.arange(vh), np.arange(vw), indexing="ij"
@@ -4300,6 +4323,20 @@ jpm AS (
   CROSS JOIN generate_series(0, 7) y(v)
   GROUP BY jr.n
 ),
+jp12 AS (
+  -- 12-bit extended-sequential grayscale JPEG: block-constant at
+  -- quality 75 (q00 = 8), level shift 2048 — quantize(8*(v-2048))/8 is
+  -- the identity, every decoded 12-bit pixel equals the block constant
+  SELECT n0.n AS media_id, 'jpeg12' AS kind,
+         8 * (1 + n0.n % 3) AS dim1, 8 * (1 + (n0.n + 1) % 2) AS dim2,
+         (SELECT SUM(((n0.n*97 + (x.v // 8)*173 + (y.v // 8)*311) % 4096)
+                     * (1 + x.v + 2*y.v))
+          FROM generate_series(0, 23) x(v),
+               generate_series(0, 15) y(v)
+          WHERE x.v < 8 * (1 + n0.n % 3)
+            AND y.v < 8 * (1 + (n0.n + 1) % 2)) AS wsum
+  FROM n0
+),
 pngi AS (
   SELECT n0.n AS media_id, 'pngi' AS kind,
          9 + n0.n % 8 AS dim1, 9 + n0.n % 5 AS dim2,
@@ -4318,7 +4355,8 @@ FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
       UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM jpg
       UNION ALL SELECT * FROM jpp UNION ALL SELECT * FROM jpr
       UNION ALL SELECT * FROM jpc UNION ALL SELECT * FROM jpm
-      UNION ALL SELECT * FROM pngi) u
+      UNION ALL SELECT * FROM pngi
+      UNION ALL SELECT * FROM jp12) u
 """
 
 

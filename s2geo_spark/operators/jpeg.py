@@ -12,10 +12,13 @@ selection + successive approximation, EOB runs, correction-bit
 refinement per G.2); progressive is what real web photo pipelines emit.
 
 Same honesty pattern as the PNG/GIF work (operators/multimodal.py):
-arithmetic coding (SOF9+), 12-bit precision, hierarchical modes, and
-non-interleaved multi-scan sequential streams raise NotImplementedError —
-this decodes the two DCT classes it claims (both WITH restart intervals),
-it does not fake the rest.
+arithmetic coding (SOF9+) and hierarchical modes raise
+NotImplementedError; 12-bit precision decodes (and encodes) for the
+extended-sequential grayscale case — level shift 2048, uint16 output,
+generated Huffman tables covering DC categories to 15 / AC sizes to 14 —
+while progressive-12-bit and color-12-bit still raise.  This decodes the
+DCT classes it claims (both WITH restart intervals), it does not fake
+the rest.
 
 Throughput: the DCT/color stages are vectorized NumPy. Huffman entropy
 decode has two paths sharing one semantics: streams WITH restart
@@ -141,6 +144,25 @@ HUFF_AC_CHROMA = (
 )
 for _bits, _vals in (HUFF_DC_LUMA, HUFF_DC_CHROMA, HUFF_AC_LUMA, HUFF_AC_CHROMA):
     assert sum(_bits) == len(_vals), "Huffman BITS/HUFFVAL length mismatch"
+
+# 12-bit-precision tables: T.81 allows DC difference categories 0..15 and
+# AC size fields 1..14 at 12-bit sample depth, but the Annex K example
+# tables stop at 11/10 — so these are GENERATED canonical sets.  DC: 15
+# four-bit codes + one five-bit (canonical codes 0..14, 30 — the all-ones
+# five-bit code 31 stays unused as C.2 requires).  AC: all 226 run/size
+# symbols (EOB, ZRL, and (r, s) for r 0..15, s 1..14) at eight bits —
+# canonical codes 0..225, 0xFF unused.  Fixed-length codes are legal
+# Huffman tables; compression is not the point of the 12-bit fixtures.
+HUFF_DC_12 = (
+    [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+HUFF_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+for _bits, _vals in (HUFF_DC_12, HUFF_AC_12):
+    assert sum(_bits) == len(_vals)
 
 # orthonormal DCT-II basis: _C[u, x]
 _C = np.array(
@@ -327,9 +349,10 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, by, bx
 
 
-def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _quantize_plane(plane: np.ndarray, q: np.ndarray,
+                    shift: float = 128.0) -> tuple[np.ndarray, int, int]:
     """Plane -> zigzagged quantized coefficient rows (n, 64)."""
-    blocks, by, bx = _plane_blocks(plane.astype(np.float64) - 128.0)
+    blocks, by, bx = _plane_blocks(plane.astype(np.float64) - shift)
     coefs = fdct2d(blocks).reshape(-1, 64)
     # round half away from zero via floor(x/q + 0.5) on the magnitude —
     # matches the closed-form the SQL oracle uses
@@ -389,17 +412,28 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     multiscan: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Baseline JFIF encode. pixels: (h, w) / (h, w, 1) grayscale uint8 or
     (h, w, 3) RGB uint8. subsampling: '444' or '420' (color only).
     restart_interval > 0 writes DRI + RSTn markers every that many MCUs.
     multiscan=True emits one non-interleaved scan per component (T.81
     A.2.2) instead of a single interleaved scan — same coefficients,
-    different transmission order, so decode is bit-identical."""
+    different transmission order, so decode is bit-identical.
+    precision=12 (extended sequential, SOF1) encodes GRAYSCALE 12-bit
+    samples (uint16, 0..4095) with the generated 12-bit Huffman tables."""
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
     gray = px.ndim == 2
+    if precision not in (8, 12):
+        raise NotImplementedError(f"JPEG encode precision {precision}")
+    if precision == 12 and not gray:
+        raise NotImplementedError("12-bit JPEG encode: grayscale only")
+    maxval = (1 << precision) - 1
+    shift = float(1 << (precision - 1))
+    if int(px.max(initial=0)) > maxval or int(px.min(initial=0)) < 0:
+        raise ValueError(f"pixel values exceed {precision}-bit range")
     h, w = px.shape[:2]
     if h <= 0 or w <= 0 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError(f"bad JPEG dimensions {w}x{h}")
@@ -420,10 +454,11 @@ def encode_jpeg(
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     else:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for cid, hs, vs, tq in comps:
         sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
-    out += _segment(0xC0, sof)
+    # SOF0 is baseline (8-bit only, C.2); 12-bit is extended sequential
+    out += _segment(0xC0 if precision == 8 else 0xC1, sof)
 
     def dht(tc, th, spec):
         bits, vals = spec
@@ -431,7 +466,9 @@ def encode_jpeg(
             0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         )
 
-    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    dc0 = HUFF_DC_12 if precision == 12 else HUFF_DC_LUMA
+    ac0 = HUFF_AC_12 if precision == 12 else HUFF_AC_LUMA
+    out += dht(0, 0, dc0) + dht(1, 0, ac0)
     if not gray:
         out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
     if restart_interval:
@@ -456,10 +493,10 @@ def encode_jpeg(
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     qtabs = [ql if c[3] == 0 else qc for c in comps]
-    enc_dc = [_build_encoder(*HUFF_DC_LUMA)] + [
+    enc_dc = [_build_encoder(*dc0)] + [
         _build_encoder(*HUFF_DC_CHROMA)
     ] * (len(comps) - 1)
-    enc_ac = [_build_encoder(*HUFF_AC_LUMA)] + [
+    enc_ac = [_build_encoder(*ac0)] + [
         _build_encoder(*HUFF_AC_CHROMA)
     ] * (len(comps) - 1)
 
@@ -472,7 +509,7 @@ def encode_jpeg(
         ph, pw = need_h - plane.shape[0], need_w - plane.shape[1]
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-        zz, by, bx = _quantize_plane(plane, qtabs[ci])
+        zz, by, bx = _quantize_plane(plane, qtabs[ci], shift=shift)
         comp_zz.append(zz.reshape(by, bx, 64))
 
     # table selector byte: DC table in the high nibble, AC in the low —
@@ -537,8 +574,9 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JFIF decode -> (h, w, 3) RGB or (h, w, 1)
-    grayscale uint8. Progressive / arithmetic / 12-bit raise."""
+    """Sequential/progressive JFIF decode -> (h, w, 3) RGB or (h, w, 1)
+    grayscale uint8; 12-bit extended-sequential grayscale -> uint16.
+    Arithmetic / hierarchical / progressive-12-bit raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -586,8 +624,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 off += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG precision {prec}")
+            if prec == 12 and marker == 0xC2:
+                raise NotImplementedError("progressive 12-bit JPEG")
+            if prec == 12 and nc != 1:
+                raise NotImplementedError("12-bit JPEG: grayscale only")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -595,7 +637,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             from . import multimodal as _mm
 
             _mm._check_dims(fw, fh)
-            frame = {"h": fh, "w": fw, "comps": comps,
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF 0x{marker:02x} mode")
@@ -1047,14 +1089,16 @@ def _reconstruct(frame, comps, comp_zz, qtabs):
         coefs = (
             (zz * q[ZIGZAG].astype(np.float64))[:, izz].reshape(-1, 8, 8)
         )
-        spatial = idct2d(coefs) + 128.0
+        prec = frame.get("prec", 8)
+        lvl, maxv = float(1 << (prec - 1)), (1 << prec) - 1
+        spatial = idct2d(coefs) + lvl
         by, bx = comp_zz[ci].shape[0], comp_zz[ci].shape[1]
         plane = (
             spatial.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(by * 8, bx * 8)
         )
-        plane = np.clip(np.floor(plane + 0.5), 0, 255)
+        plane = np.clip(np.floor(plane + 0.5), 0, maxv)
         # upsample to full resolution by replication, then crop
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -1062,7 +1106,8 @@ def _reconstruct(frame, comps, comp_zz, qtabs):
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)[:, :, None]
+        dt = np.uint8 if frame.get("prec", 8) == 8 else np.uint16
+        return planes[0].astype(dt)[:, :, None]
     if len(planes) != 3:
         raise NotImplementedError(f"JPEG with {len(planes)} components")
     y, cb, cr = planes

@@ -472,3 +472,50 @@ class TestVectorizedScanDecode:
         b2 = b[:second] + b[first:second] + b[second:]
         with pytest.raises(ValueError, match="scanned twice"):
             jpeg.decode_jpeg(b2)
+
+
+class Test12Bit:
+    """12-bit extended-sequential grayscale (late r5): level shift 2048,
+    uint16 output, generated Huffman tables (DC categories to 15, AC
+    sizes to 14)."""
+
+    def test_block_constant_exact(self):
+        jy, jx = np.meshgrid(np.arange(16), np.arange(24), indexing="ij")
+        px = ((7 * 53 + (jx // 8) * 173 + (jy // 8) * 311) % 4096).astype(
+            np.uint16
+        )
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75, precision=12))
+        assert dec.dtype == np.uint16
+        assert (dec[:, :, 0] == px).all()
+
+    def test_vectorized_matches_scalar_and_extremes(self):
+        g = (
+            (np.arange(32)[:, None] * 97 + np.arange(40)[None, :] * 13) % 4096
+        ).astype(np.uint16)
+        d0 = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90, precision=12))
+        d1 = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(g, quality=90, precision=12, restart_interval=1)
+        )
+        assert (d0 == d1).all()
+        e = np.repeat(
+            np.repeat(np.array([[0, 4095], [4095, 0]], np.uint16), 8, 0), 8, 1
+        )
+        de = jpeg.decode_jpeg(jpeg.encode_jpeg(e, quality=75, precision=12))
+        assert (de[:, :, 0] == e).all()  # full-range DC diffs survive
+
+    def test_honest_raises(self):
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint16), precision=12)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_jpeg(np.zeros((8, 8), np.uint8), precision=10)
+        with pytest.raises(ValueError):
+            jpeg.encode_jpeg(
+                np.full((8, 8), 5000, np.uint16), precision=12
+            )
+
+    def test_eight_bit_output_unchanged(self):
+        p8 = (
+            (np.arange(16)[:, None] * 7 + np.arange(16)[None, :] * 3) % 256
+        ).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(p8, quality=75))
+        assert out.dtype == np.uint8
