@@ -4695,6 +4695,42 @@ def o_sketch_hll():
     return hll_oracle_sql("source", "text", "documents")
 
 
+def q_sketch_hll_stream(spark, sf_dir):
+    """STREAMING HyperLogLog (late r5): the per-register rho maxes run as
+    a stateful streaming aggregation (max IS the sketch merge rule, so
+    Structured Streaming maintains the exact same state a batch groupBy
+    produces, micro-batch by micro-batch); the memory sink's register
+    table folds to (source, hll_t, estimate) in one batch step.  The
+    oracle is the batch sketch — stream/batch sketch parity is
+    hash-checked, not asserted."""
+    import os
+    import uuid
+
+    from s2geo_spark.streaming import pipeline as spl
+
+    from .operators.search import hll_finish, hll_register_maxes
+
+    schema = _t(spark, sf_dir, "documents").schema
+    src = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if not os.path.isdir(src):
+        reader = reader.option("pathGlobFilter", "documents.parquet")
+        src = sf_dir
+    stream = reader.parquet(src)
+    maxes = hll_register_maxes(stream, "source", F.col("text"))
+    name = f"hll_stream_{uuid.uuid4().hex[:12]}"
+    spl.run_to_memory(maxes, name, mode="complete")
+    return hll_finish(spark.table(name), "source")
+
+
+def o_sketch_hll_stream():
+    from .operators.search import hll_oracle_sql
+
+    sql = hll_oracle_sql("source", "text", "documents")
+    # same sketch, without the exact-count reference column
+    return f"SELECT source, hll_t, hll_estimate FROM ({sql})"
+
+
 _MERC_LAT_RAD = "0.017453292519943295"  # pi/180, identical literal both sides
 _MERC_PI = "3.141592653589793"
 
@@ -5036,13 +5072,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "search_bm25": q_search_bm25,
         "sketch_hll_distinct": q_sketch_hll,
+        "sketch_hll_stream": q_sketch_hll_stream,
         "sketch_count_min": q_sketch_count_min,
         "sample_stratified": q_sample_stratified,
         "pipeline_training_mix": q_pipeline_training_mix,
         "geo_xyz_tiles": q_geo_xyz_tiles,
         "olap_shipping_priority": q_olap_shipping_priority,
         "olap_regional_revenue": q_olap_regional_revenue,
-        "s2_distance_join": q_distance_join,
         "s2_stream_tiles": q_stream_tiles,
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
@@ -5090,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_simple_covering": q_simple_covering,
         "s2_knn": q_knn,
         "s2_furthest": q_furthest,
+        "s2_distance_join": q_distance_join,
         "text_tokens_bpe": q_tokens_bpe,
         "text_fingerprint": q_fingerprint,
         "s2_face_counts": q_face_counts,
@@ -5177,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_distinct": o_sketch_hll(),
         "geo_xyz_tiles": o_geo_xyz_tiles(),
         "sketch_count_min": o_sketch_count_min(),
+        "sketch_hll_stream": o_sketch_hll_stream(),
         "sample_stratified": o_sample_stratified(),
         "pipeline_training_mix": o_pipeline_training_mix(),
         "olap_shipping_priority": o_olap_shipping_priority(),

@@ -171,6 +171,52 @@ SELECT query, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
+def hll_register_maxes(df: DataFrame, group_col: str, value_col,
+                       p: int = 6) -> DataFrame:
+    """(grp, reg, mr) per-register rho maxes — the mergeable HLL sketch
+    state.  Works on batch AND streaming DataFrames: max() is the whole
+    merge rule, so Structured Streaming's stateful groupBy in complete
+    mode maintains the identical sketch incrementally."""
+    m = 1 << p
+    rhocap = 61 - p  # max rho: hash < 2^60, remainder has 60-p bits
+    h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
+    rem = F.expr(f"h div {m}")
+    rho = F.when(rem == 0, F.lit(rhocap)).otherwise(
+        F.lit(rhocap) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .select("grp", F.expr(f"h % {m}").alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_finish(regs: DataFrame, group_col: str, p: int = 6) -> DataFrame:
+    """Fold (grp, reg, mr) register maxes into (group, hll_t, hll_estimate)."""
+    m = 1 << p
+    rhocap = 61 - p
+    est = F.expr(
+        f"((CAST(0.709 AS DOUBLE) * CAST({float(m * m)} AS DOUBLE))"
+        f" * CAST({float(1 << rhocap)} AS DOUBLE)) / CAST(hll_t AS DOUBLE)"
+    )
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST({rhocap} - mr AS INT))")).alias("t_seen"),
+            F.count("*").alias("n_regs"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            (F.col("t_seen")
+             + (F.lit(m) - F.col("n_regs"))
+             * F.lit(1 << rhocap).cast("long")).alias("hll_t"),
+        )
+        .select(group_col, "hll_t", est.alias("hll_estimate"))
+    )
+
+
 def hll_distinct(df: DataFrame, group_col: str, value_col,
                  p: int = 6) -> DataFrame:
     """HyperLogLog distinct-count per group, exact-integer sketch state.
@@ -190,17 +236,9 @@ def hll_distinct(df: DataFrame, group_col: str, value_col,
     check; at 100 TB you would drop it and keep only the sketch.
     """
     m = 1 << p
-    rhocap = 61 - p  # max rho: hash < 2^60, remainder has 60-p bits
-    h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
-    rem = F.expr(f"h div {m}")
-    rho = F.when(rem == 0, F.lit(rhocap)).otherwise(
-        F.lit(rhocap) - F.length(F.bin(rem))
-    )
+    rhocap = 61 - p
     regs = (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
-        .select("grp", F.expr(f"h % {m}").alias("reg"), rho.alias("rho"))
-        .groupBy("grp", "reg")
-        .agg(F.max("rho").alias("mr"))
+        hll_register_maxes(df, group_col, value_col, p)
         .groupBy("grp")
         .agg(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
