@@ -436,3 +436,123 @@ def stratified_sample(df: DataFrame, stratum_col: str, frac_pct: int = 10,
         .select(id_col, stratum_col, "prio", "rnk",
                 F.col("n_stratum").cast("long").alias("n_stratum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, public): distributed build + semi-join prefilter
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(key_col: str, i: int, n_bits: int) -> F.Column:
+    """i-th bit position for a key: an 8-hex-digit (32-bit) slice of
+    md5(key) reduced mod n_bits.  Pure Catalyst, and replayable in any
+    SQL engine with md5 + hex parsing (the oracle uses DuckDB's
+    ('0x'||slice)::BIGINT)."""
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), "
+        f"{i * 8 + 1}, 8), 16, 10) AS BIGINT) % {n_bits}"
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, n_bits: int = 1024,
+                k: int = 4, word_bits: int = 32) -> DataFrame:
+    """Build a Bloom filter over df[key_col] as a (word, bits) table of
+    n_bits/word_bits rows — the distributed representation of the bitset.
+
+    The build is one partial-aggregated groupBy on the word index: every
+    executor ORs its local masks first, so the shuffle carries at most
+    n_bits/word_bits rows per map task no matter how many keys stream
+    through — the right shape for building a prefilter from a 100-TB
+    fact scan.  word_bits=32 keeps every mask < 2^31 so all arithmetic
+    stays in non-overflowing BIGINT on both engines (Spark ANSI mode
+    forbids silent 64-bit overflow).
+
+    k is capped at 4 because positions are carved from disjoint 8-hex
+    slices of one md5; 4 x 32 bits of independent hash is the standard
+    double-hashing budget for n_bits up to ~2^30.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 slice budget)")
+    pos = F.explode(
+        F.array(*[_bloom_pos(key_col, i, n_bits) for i in range(k)])
+    ).alias("p")
+    return (
+        df.select(pos)
+        .groupBy(F.floor(F.col("p") / word_bits).alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(p % {word_bits} AS INT))"
+                )
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(df: DataFrame, filter_df: DataFrame, key_col: str,
+                n_bits: int = 1024, k: int = 4, word_bits: int = 32,
+                out_col: str = "bloom_maybe") -> DataFrame:
+    """Tag each probe row with whether key_col MIGHT be in the filter
+    (no false negatives; false-positive rate set by n_bits/k vs the
+    build cardinality).
+
+    The filter table is tiny by construction (n_bits/word_bits rows), so
+    membership is k broadcast hash joins — zero shuffle of the probe
+    side, which is exactly how a Bloom prefilter must behave in front of
+    a 100-TB semi join.  A missing word row means no build key touched
+    that word: bits IS NULL => that probe bit fails => not a member.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 slice budget)")
+    out = df
+    passes = []
+    for i in range(k):
+        h = _bloom_pos(key_col, i, n_bits)
+        wcol, mcol, fw, fb = f"__bw{i}", f"__bm{i}", f"__fw{i}", f"__fb{i}"
+        out = out.withColumn("__bh", h).withColumn(
+            wcol, F.floor(F.col("__bh") / word_bits)
+        ).withColumn(
+            mcol,
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__bh % {word_bits} AS INT))"
+            ),
+        ).drop("__bh")
+        filt = filter_df.select(
+            F.col("word").alias(fw), F.col("bits").alias(fb)
+        )
+        out = out.join(
+            F.broadcast(filt), F.col(wcol) == F.col(fw), "left"
+        )
+        passes.append(
+            F.col(fb).isNotNull()
+            & (F.col(fb).bitwiseAND(F.col(mcol)) != 0)
+        )
+    cond = passes[0]
+    for p in passes[1:]:
+        cond = cond & p
+    out = out.withColumn(out_col, cond)
+    drop = [c for i in range(k)
+            for c in (f"__bw{i}", f"__bm{i}", f"__fw{i}", f"__fb{i}")]
+    return out.drop(*drop)
+
+
+def bloom_oracle_fragments(build_table_sql: str, key_sql: str,
+                           n_bits: int = 1024, k: int = 4,
+                           word_bits: int = 32) -> str:
+    """DuckDB CTE fragment computing the identical (word, bits) filter:
+    `bloom_words(word, bits)`.  key_sql is the key expression inside the
+    build table subquery."""
+    return f"""
+bloom_pos AS (
+  SELECT CAST(('0x' || substring(md5(CAST({key_sql} AS VARCHAR)),
+              i.i * 8 + 1, 8)) AS BIGINT) % {n_bits} AS p
+  FROM ({build_table_sql}) bsrc
+  CROSS JOIN (SELECT unnest(range({k})) AS i) i
+),
+bloom_words AS (
+  SELECT p // {word_bits} AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % {word_bits} AS INT))
+              AS BIGINT) AS bits
+  FROM bloom_pos GROUP BY 1
+)"""
