@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "text_model_score",
     "text_fingerprint",
     "events_windowed",
+    "events_asof",
+    "olap_interval_ship",
+    "sketch_bloom",
     "embedding_topk",
     "olap_lineitem_rollup",
     "graph_pagerank",

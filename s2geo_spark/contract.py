@@ -5237,6 +5237,119 @@ FROM res, pop
 """
 
 
+def q_events_rolling(spark, sf_dir):
+    """Trailing 10-minute per-user rolling aggregates via a native RANGE
+    frame window (peers at the same order value share frames — semantics
+    identical across engines).  One shuffle on user_id; the frame is a
+    streaming sliding accumulator inside the sort, the right shape for
+    per-entity trailing features over a 100-TB event log."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_scaled"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_10m"),
+        F.sum("v_scaled").over(w).cast("long").alias("sum_10m"),
+    )
+
+
+def o_events_rolling():
+    return """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_10m,
+       CAST(sum(v_scaled) OVER w AS BIGINT) AS sum_10m
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000) AS BIGINT) AS v_scaled,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_olap_rollup_sets(spark, sf_dir):
+    """Native ROLLUP grouping sets (flag x status hierarchy plus
+    subtotals and grand total), disambiguated by grouping_id — one
+    map-side-combining aggregate producing every level in a single pass
+    instead of L separate scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("qty_sum"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "n",
+            "qty_sum",
+        )
+    )
+
+
+def o_olap_rollup_sets():
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Long->wide pivot with an explicit value list (the only scalable
+    form — implicit pivot needs a distinct-values pre-pass): per-user
+    event-type count matrix as one map-side-combining aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "user_id",
+        *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+def o_events_pivot():
+    cases = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cases}
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5274,11 +5387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "olap_interval_ship": q_olap_interval_ship,
         "sketch_bloom": q_sketch_bloom,
+        "events_rolling": q_events_rolling,
+        "olap_rollup_sets": q_olap_rollup_sets,
+        "events_pivot": q_events_pivot,
         "s2_stream_tiles": q_stream_tiles,
-        "s2_canonicalize": q_canonicalize,
-        "s2_dtw_align": q_dtw,
         "s2_dtw_medoid": q_dtw_medoid,
-        "s2_simplify": q_simplify,
         "s2_tessellate": q_tessellate,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
@@ -5312,6 +5425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_hausdorff": q_hausdorff,
         "s2_density_rollup": q_density_rollup,
         "s2_union_algebra": q_union_algebra,
+        "s2_canonicalize": q_canonicalize,
+        "s2_dtw_align": q_dtw,
+        "s2_simplify": q_simplify,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
@@ -5341,6 +5457,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": o_events_asof(),
         "olap_interval_ship": o_olap_interval_ship(),
         "sketch_bloom": o_sketch_bloom(),
+        "events_rolling": o_events_rolling(),
+        "olap_rollup_sets": o_olap_rollup_sets(),
+        "events_pivot": o_events_pivot(),
         "s2_face_counts": o_face_counts(),
         "text_pii_scrub": o_text_pii_scrub(),
         "text_span_dedup": o_text_span_dedup(),
