@@ -928,6 +928,77 @@ def o_stream_dedup():
     return "SELECT DISTINCT md5(text) AS content_hash FROM documents"
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """STREAMING stream-stream interval join: purchases and clicks as two
+    watermarked event-time streams, inner-joined on user with the click
+    constrained to the hour preceding the purchase.  This is the native
+    Structured Streaming join shape for funnel attribution on live
+    traffic: both watermarks plus the time-range condition let Spark
+    bound the buffered state to ~1 hour per side — without them the join
+    state grows forever.  Inner matches emit without waiting for the
+    watermark, so the availableNow drain produces the complete pair set,
+    hash-checked against the batch inequality join the DuckDB oracle
+    runs."""
+    import os
+    import uuid
+
+    from s2geo_spark.streaming import pipeline as spl
+
+    schema = _t(spark, sf_dir, "events").schema
+    src = f"{sf_dir}/events.parquet"
+
+    def read_stream():
+        reader = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        )
+        if not os.path.isdir(src):
+            return reader.option(
+                "pathGlobFilter", "events.parquet"
+            ).parquet(sf_dir)
+        return reader.parquet(src)
+
+    p = (
+        read_stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        read_stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    name = f"stream_ij_{uuid.uuid4().hex[:12]}"
+    spl.run_to_memory(joined, name, mode="append")
+    return spark.table(name)
+
+
+def o_stream_interval_join():
+    return """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 # --- Hausdorff / density tree / cell-union set algebra ----------------------
 
 def q_hausdorff(spark, sf_dir):
@@ -5162,7 +5233,9 @@ def q_sketch_bloom(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part")
     members = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
-    filt = bloom_build(members, "p_partkey", n_bits=1024, k=4)
+    # materialize the (tiny, <= n_bits/32-row) filter once: the probe's k
+    # broadcast joins would otherwise each re-run the build-side scan+agg
+    filt = bloom_build(members, "p_partkey", n_bits=1024, k=4).localCheckpoint()
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     probed = bloom_probe(li, filt, "l_partkey", n_bits=1024, k=4)
     truth = members.select(
@@ -5390,9 +5463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "olap_rollup_sets": q_olap_rollup_sets,
         "events_pivot": q_events_pivot,
+        "events_stream_join": q_stream_interval_join,
         "s2_stream_tiles": q_stream_tiles,
         "s2_dtw_medoid": q_dtw_medoid,
-        "s2_tessellate": q_tessellate,
         "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
@@ -5428,6 +5501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_canonicalize": q_canonicalize,
         "s2_dtw_align": q_dtw,
         "s2_simplify": q_simplify,
+        "s2_tessellate": q_tessellate,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
@@ -5460,6 +5534,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": o_events_rolling(),
         "olap_rollup_sets": o_olap_rollup_sets(),
         "events_pivot": o_events_pivot(),
+        "events_stream_join": o_stream_interval_join(),
         "s2_face_counts": o_face_counts(),
         "text_pii_scrub": o_text_pii_scrub(),
         "text_span_dedup": o_text_span_dedup(),
