@@ -4680,6 +4680,74 @@ def q_graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the synthetic link graph via
+    degree-ordered orientation (compact-forward, Latapy 2008): hubs get
+    all edges oriented INTO them, so the power-law wedge explosion a
+    naive id-ordered 3-way self-join suffers at 100 TB cannot happen.
+    Two shuffle equi-joins; each triangle emitted exactly once with
+    id-sorted corners.  The oracle replays the identical orientation
+    and joins in SQL — all-integer rank keys."""
+    from .operators.graph import synth_links, triangles
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_links(docs)
+    return triangles(edges)
+
+
+def o_graph_triangles():
+    return """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+deg0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(1 + (('0x' || substr(md5('deg:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 4) AS BIGINT) AS outdeg
+  FROM documents
+),
+dj AS (
+  SELECT src, unnest(generate_series(1, outdeg)) AS j FROM deg0
+),
+edges AS (
+  SELECT src,
+         ('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+                             || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT n FROM nn) AS dst
+  FROM dj
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+degs AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+              THEN e.b ELSE e.a END AS v,
+         CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+              THEN db.deg * 4294967296 + e.b
+              ELSE da.deg * 4294967296 + e.a END AS rkv
+  FROM u e JOIN degs da ON da.node = e.a JOIN degs db ON db.node = e.b
+),
+w AS (
+  SELECT x.u, x.v AS v1, y.v AS v2
+  FROM o x JOIN o y ON x.u = y.u AND x.rkv < y.rkv
+),
+t AS (
+  SELECT w.u, w.v1, w.v2 FROM w JOIN o z ON z.u = w.v1 AND z.v = w.v2
+)
+SELECT CAST(least(u, v1, v2) AS BIGINT) AS a,
+       CAST(u + v1 + v2 - least(u, v1, v2) - greatest(u, v1, v2)
+            AS BIGINT) AS b,
+       CAST(greatest(u, v1, v2) AS BIGINT) AS c
+FROM t
+"""
+
+
 def o_graph_pagerank():
     base = 150_000_000  # (100-85)% of scale 1e9
     it = """
@@ -5191,17 +5259,31 @@ def q_olap_interval_ship(spark, sf_dir):
             ),
         )
     )
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_shipdate",
-        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    # pre-aggregate the point side on its (coarse) date key BEFORE the
+    # containment join: ~600k lineitems collapse to ~2.5k distinct ship
+    # dates, so the join's intermediate is |intervals| x 7 rows instead
+    # of |intervals| x ~1.7k — the standard move whenever point
+    # timestamps are coarser than the interval width (10x here; the
+    # same factor survives at 100 TB because date cardinality is fixed)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count("*").alias("n_day"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias(
+                "qty_day"
+            ),
+        )
     )
     j = interval_point_join(
         o, li, "o_orderdate", "o_end", "l_shipdate",
         bucket_s=7 * 86400, how="left",
     )
     return j.groupBy("o_orderkey").agg(
-        F.count("l_shipdate").alias("n_ship"),
-        F.coalesce(F.sum("qty"), F.lit(0)).cast("long").alias("qty_sum"),
+        F.coalesce(F.sum("n_day"), F.lit(0)).cast("long").alias("n_ship"),
+        F.coalesce(F.sum("qty_day"), F.lit(0))
+        .cast("long")
+        .alias("qty_sum"),
     )
 
 
@@ -5448,6 +5530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_domain_cap": q_text_domain_cap,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "search_bm25": q_search_bm25,
         "sketch_hll_distinct": q_sketch_hll,
         "sketch_hll_stream": q_sketch_hll_stream,
@@ -5466,7 +5549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_stream_interval_join,
         "s2_stream_tiles": q_stream_tiles,
         "s2_dtw_medoid": q_dtw_medoid,
-        "s2_closest_cell": q_closest_cell,
         "s2_raster_vector": q_raster_vector,
         "s2_convex_hull": q_convex_hull,
         "s2_chain_interp": q_chain_interp,
@@ -5502,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_dtw_align": q_dtw,
         "s2_simplify": q_simplify,
         "s2_tessellate": q_tessellate,
+        "s2_closest_cell": q_closest_cell,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
@@ -5535,6 +5618,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_rollup_sets": o_olap_rollup_sets(),
         "events_pivot": o_events_pivot(),
         "events_stream_join": o_stream_interval_join(),
+        "graph_triangles": o_graph_triangles(),
         "s2_face_counts": o_face_counts(),
         "text_pii_scrub": o_text_pii_scrub(),
         "text_span_dedup": o_text_span_dedup(),

@@ -109,3 +109,69 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 4,
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangles(edges: DataFrame, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """Triangle enumeration via degree-ordered orientation
+    ("compact-forward", Latapy 2008, public): orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher, form wedges
+    as pairs of out-edges of the same source, and close each wedge
+    against the oriented edge set.
+
+    The orientation is the 100-TB ingredient: wedge count is bounded by
+    sum(min-side out-degree choose 2) instead of sum(deg^2) — a hub with
+    degree d contributes no wedges at all (all its edges point INTO it),
+    so the classic power-law wedge explosion never happens.  Plan: two
+    shuffle equi-joins (wedge build keyed on the source, closure keyed
+    on the (v1, v2) pair); every triangle is emitted exactly once, no
+    distinct() needed.
+
+    Rank key = deg * 2^32 + node (total order; assumes node ids and
+    degrees < 2^31 — shrink the shift for denser graphs).  Returns one
+    row per triangle with id-sorted corners (a < b < c).
+    """
+    u = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .unionAll(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    shift = F.lit(1 << 32).cast("long")
+    ra = deg.select(
+        F.col("node").alias("a"),
+        (F.col("deg") * shift + F.col("node")).alias("rka"),
+    )
+    rb = deg.select(
+        F.col("node").alias("b"),
+        (F.col("deg") * shift + F.col("node")).alias("rkb"),
+    )
+    e = u.join(ra, "a").join(rb, "b")
+    fwd = F.col("rka") < F.col("rkb")
+    o = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("rkb")).otherwise(F.col("rka")).alias("rkv"),
+    )
+    x = o.select("u", F.col("v").alias("v1"), F.col("rkv").alias("rk1"))
+    y = o.select("u", F.col("v").alias("v2"), F.col("rkv").alias("rk2"))
+    wedge = x.join(y, "u").where(F.col("rk1") < F.col("rk2"))
+    z = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedge.join(z, ["v1", "v2"])
+    lo = F.least("u", "v1", "v2")
+    hi = F.greatest("u", "v1", "v2")
+    return tri.select(
+        lo.cast("long").alias("a"),
+        (F.col("u") + F.col("v1") + F.col("v2") - lo - hi)
+        .cast("long")
+        .alias("b"),
+        hi.cast("long").alias("c"),
+    )

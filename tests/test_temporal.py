@@ -281,3 +281,34 @@ class TestBloom:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestTriangles:
+    def test_matches_brute_force(self, spark):
+        from s2geo_spark.operators.graph import triangles
+
+        rng = np.random.RandomState(13)
+        n, m = 40, 160
+        e = pd.DataFrame(
+            {
+                "src": rng.randint(0, n, m).astype(np.int64),
+                "dst": rng.randint(0, n, m).astype(np.int64),
+            }
+        )
+        got = triangles(spark.createDataFrame(e)).toPandas()
+        trips = list(zip(got["a"], got["b"], got["c"]))
+        # brute force over the canonical undirected simple graph
+        adj = set()
+        for s, d in zip(e["src"], e["dst"]):
+            if s != d:
+                adj.add((min(s, d), max(s, d)))
+        exp = {
+            (a, b, c)
+            for (a, b) in adj
+            for c in range(n)
+            if b < c and (a, c) in adj and (b, c) in adj
+        }
+        assert len(trips) == len(set(trips)), "triangle emitted twice"
+        assert set(trips) == exp
+        for a, b, c in trips:
+            assert a < b < c
