@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "olap_lineitem_rollup",
     "graph_pagerank",
+    "graph_triangles",
     "search_bm25",
 ]
 
