@@ -5301,6 +5301,79 @@ GROUP BY 1
 """
 
 
+def q_olap_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-average-quantity line items,
+    i.e. a correlated aggregate subquery (avg qty per part) decorrelated
+    into a broadcastable per-part aggregate joined back to the fact —
+    the rewrite every engine needs at scale because the correlated form
+    re-scans the fact per row.  The 0.2*avg threshold is one IEEE
+    multiply of an exactly-computed mean (integer sum / integer count),
+    so the comparison is bit-deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    avg_per_part = li.groupBy("l_partkey").agg(
+        (F.sum(qty).cast("double") / F.count("*").cast("double")).alias(
+            "avg_qty"
+        )
+    )
+    j = li.join(F.broadcast(avg_per_part), "l_partkey").where(
+        qty.cast("double") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return j.agg(
+        F.count("*").alias("n_small"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_sum_c"),
+    )
+
+
+def o_olap_small_qty():
+    return """
+WITH a AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_small,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_sum_c
+FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+WHERE CAST(CAST(floor(l.l_quantity) AS BIGINT) AS DOUBLE)
+      < CAST(0.2 AS DOUBLE) * a.avg_qty
+"""
+
+
+def q_dedup_latest(spark, sf_dir):
+    """Latest-record-per-key compaction (the SCD/upsert shape every
+    incremental ingest needs: keep each user's most recent event).  One
+    shuffle on the key; row_number over (ts DESC, event_id DESC) makes
+    the survivor deterministic under concurrent equal timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "ts",
+            "event_type",
+        )
+    )
+
+
+def o_dedup_latest():
+    return """
+SELECT user_id, event_id AS last_event_id, ts, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 _BLOOM_MEMBERS = "SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'"
 
 
@@ -5547,10 +5620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_rollup_sets": q_olap_rollup_sets,
         "events_pivot": q_events_pivot,
         "events_stream_join": q_stream_interval_join,
+        "olap_small_qty": q_olap_small_qty,
+        "dedup_latest": q_dedup_latest,
         "s2_stream_tiles": q_stream_tiles,
         "s2_dtw_medoid": q_dtw_medoid,
-        "s2_raster_vector": q_raster_vector,
-        "s2_convex_hull": q_convex_hull,
         "s2_chain_interp": q_chain_interp,
         "h3_tile_counts": q_h3_counts,
         "dedup_simhash8": q_simhash8,
@@ -5585,6 +5658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_simplify": q_simplify,
         "s2_tessellate": q_tessellate,
         "s2_closest_cell": q_closest_cell,
+        "s2_convex_hull": q_convex_hull,
+        "s2_raster_vector": q_raster_vector,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
@@ -5619,6 +5694,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": o_events_pivot(),
         "events_stream_join": o_stream_interval_join(),
         "graph_triangles": o_graph_triangles(),
+        "olap_small_qty": o_olap_small_qty(),
+        "dedup_latest": o_dedup_latest(),
         "s2_face_counts": o_face_counts(),
         "text_pii_scrub": o_text_pii_scrub(),
         "text_span_dedup": o_text_span_dedup(),
