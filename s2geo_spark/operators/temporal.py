@@ -67,11 +67,19 @@ def asof_join(
 
     direction='backward': right ts' <= left ts, greatest ts' wins
     (tie: greatest tie_col).  direction='forward': right ts' >= left ts,
-    smallest ts' wins (tie: smallest tie_col).  tolerance_s, if given,
-    nulls out matches further than that many seconds away.
+    smallest ts' wins (tie: smallest tie_col).  direction='nearest':
+    whichever of the two is closer in time; an exact distance tie picks
+    the backward match (pandas merge_asof semantics).  tolerance_s, if
+    given, nulls out matches further than that many seconds away.
+
+    'nearest' computes both directional running windows over the SAME
+    keyed sort partitioning — one shuffle still; Spark inserts a second
+    in-partition sort, not a second exchange.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -102,22 +110,38 @@ def asof_join(
     rhs = rhs.withColumn("__lp", F.lit(None).cast(lhs.schema["__lp"].dataType))
     both = rhs.unionByName(lhs)
 
+    # right rows sort BEFORE left rows at equal ts (inclusive match); among
+    # equal-ts right rows the winning tie sorts last.
+    order_back = [F.asc("__t"), F.asc("__side"), F.asc("__tie")]
+    # descending time: running "last" = smallest ts' >= t; at equal ts'
+    # the smallest tie sorts last -> wins.
+    order_fwd = [F.desc("__t"), F.asc("__side"), F.desc("__tie")]
+
+    def running(order):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rp", ignorenulls=True).over(w)
+
     if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts (inclusive match);
-        # among equal-ts right rows the greatest tie sorts last -> wins.
-        order = [F.asc("__t"), F.asc("__side"), F.asc("__tie")]
-    else:
-        # descending time: running "last" = smallest ts' >= t; at equal
-        # ts' the smallest tie sorts last -> wins.
-        order = [F.desc("__t"), F.asc("__side"), F.desc("__tie")]
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = both.withColumn(
-        "__m", F.last("__rp", ignorenulls=True).over(w)
-    ).where(F.col("__side") == 1)
+        matched = both.withColumn("__m", running(order_back))
+    elif direction == "forward":
+        matched = both.withColumn("__m", running(order_fwd))
+    else:  # nearest: both running passes share the one keyed exchange
+        mb, mf = running(order_back), running(order_fwd)
+        tcur = _us(F.col("__t"))
+        both2 = both.withColumn("__mb", mb).withColumn("__mf", mf)
+        db = F.abs(_us(F.col("__mb.__match_ts")) - tcur)
+        df_ = F.abs(_us(F.col("__mf.__match_ts")) - tcur)
+        pick_back = F.col("__mf").isNull() | (
+            F.col("__mb").isNotNull() & (db <= df_)
+        )
+        matched = both2.withColumn(
+            "__m", F.when(pick_back, F.col("__mb")).otherwise(F.col("__mf"))
+        )
+    matched = matched.where(F.col("__side") == 1)
     if tolerance_s is not None:
         lim = int(tolerance_s * _US)
         dist = F.abs(_us(F.col("__m.__match_ts")) - _us(F.col("__t")))

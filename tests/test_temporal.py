@@ -43,14 +43,18 @@ def _mk_events(seed, n, n_keys):
 
 
 class TestAsofJoin:
-    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize(
+        "direction", ["backward", "forward", "nearest"]
+    )
     def test_matches_pandas_merge_asof(self, spark, direction):
         left = _mk_events(1, 400, 7)
         right = _mk_events(2, 300, 7)
         # pandas merge_asof needs unique sort order to be deterministic
         # on ties; drop duplicate (key, ts) rows on the right, keeping
-        # the row our tie rule (max id backward / min id forward) keeps.
-        keep = "last" if direction == "backward" else "first"
+        # the row our tie rule (max id backward / min id forward) keeps
+        # (for nearest the dedup makes candidates unique, so any keep
+        # works and the two engines agree by construction).
+        keep = "first" if direction == "forward" else "last"
         rd = (
             right.sort_values(["key", "ts", "id"])
             .drop_duplicates(["key", "ts"], keep=keep)
