@@ -988,6 +988,49 @@ def q_stream_interval_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_events_stream_asof(spark, sf_dir):
+    """STREAMING as-of enrichment: the batch events_asof re-expressed as
+    a custom stateful operator (applyInPandasWithState) — state per user
+    is just the latest click, each micro-batch vectorizes its matching
+    with pandas.merge_asof and carries the state forward.  Drained with
+    availableNow over an in-order source the result is exact, so it
+    hash-matches the SAME oracle as the batch as-of join — stream/batch
+    as-of parity, the property an incremental enrichment pipeline
+    needs before it can replace its nightly backfill."""
+    import os
+    import uuid
+
+    from s2geo_spark.streaming import pipeline as spl
+
+    schema = _t(spark, sf_dir, "events").schema
+    src = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if not os.path.isdir(src):
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        src = sf_dir
+    stream = reader.parquet(src)
+    tagged = stream.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    enriched = spl.asof_enrich_stream(tagged)
+    name = f"stream_asof_{uuid.uuid4().hex[:12]}"
+    spl.run_to_memory(enriched, name, mode="append")
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("match_id").alias("click_id"),
+        "lag_s",
+    )
+
+
 def o_stream_interval_join():
     return """
 SELECT p.event_id AS purchase_id, c.event_id AS click_id
@@ -5622,8 +5665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_stream_interval_join,
         "olap_small_qty": q_olap_small_qty,
         "dedup_latest": q_dedup_latest,
+        "events_stream_asof": q_events_stream_asof,
         "s2_stream_tiles": q_stream_tiles,
-        "s2_dtw_medoid": q_dtw_medoid,
         "s2_chain_interp": q_chain_interp,
         "h3_tile_counts": q_h3_counts,
         "dedup_simhash8": q_simhash8,
@@ -5660,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_closest_cell": q_closest_cell,
         "s2_convex_hull": q_convex_hull,
         "s2_raster_vector": q_raster_vector,
+        "s2_dtw_medoid": q_dtw_medoid,
         "s2_boolean_counts": q_boolean_counts,
         "s2_boolean_degenerate": q_boolean_degenerate,
         "s2_buffer_contains": q_buffer_contains,
@@ -5696,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": o_graph_triangles(),
         "olap_small_qty": o_olap_small_qty(),
         "dedup_latest": o_dedup_latest(),
+        "events_stream_asof": o_events_asof(),
         "s2_face_counts": o_face_counts(),
         "text_pii_scrub": o_text_pii_scrub(),
         "text_span_dedup": o_text_span_dedup(),

@@ -197,3 +197,110 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def asof_enrich_stream(
+    tagged_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    side_col: str = "side",
+) -> DataFrame:
+    """Custom stateful streaming operator: as-of enrichment.  The input
+    stream carries both sides tagged by ``side_col`` (0 = reference/
+    right, 1 = query/left); state per key = the latest reference row
+    seen.  Each micro-batch vectorizes the in-batch matching with
+    pandas.merge_asof (carry-in = the state row prepended), then stores
+    the batch's latest reference back — O(1) state per key, the
+    streaming analogue of operators/temporal.asof_join.
+
+    Tie semantics match the batch operator: a reference row at exactly
+    the query row's timestamp matches (inclusive), and among equal-ts
+    references the greatest id wins.
+
+    Exactness contract: within a micro-batch order is irrelevant (the
+    batch is sorted), and across micro-batches the match is exact as
+    long as a reference row never arrives AFTER a query row it should
+    precede (in-order sources, e.g. a replayed log or a single drained
+    batch).  Under genuinely late reference arrivals a streaming as-of
+    is inherently approximate — the batch operator is the backfill
+    path.  Emits (id, key, ts, match_id, lag_s) with -1 for no match.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{id_col} long, {key_col} long, {ts_col} timestamp, "
+        "match_id long, lag_s long"
+    )
+    state_schema = "ref_ts_us long, ref_id long"
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return iter([])
+        pdf["ts_us_"] = pdf[ts_col].astype("int64") // 1000  # ns -> us
+        pdf = pdf.sort_values(["ts_us_", side_col, id_col])
+        refs = pdf[pdf[side_col] == 0][["ts_us_", id_col]]
+        # equal-ts references: keep the greatest id (batch tie rule)
+        refs = refs.drop_duplicates("ts_us_", keep="last")
+        if state.exists:
+            sts, sid = state.get
+            carry = pd.DataFrame({"ts_us_": [sts], id_col: [sid]})
+            refs = (
+                pd.concat([carry, refs], ignore_index=True)
+                .sort_values(["ts_us_", id_col])
+                .drop_duplicates("ts_us_", keep="last")
+            )
+        qry = pdf[pdf[side_col] == 1][["ts_us_", key_col, id_col, ts_col]]
+        rows = []
+        if not qry.empty:
+            m = pd.merge_asof(
+                qry.sort_values("ts_us_"),
+                refs.rename(columns={id_col: "match_id"}).sort_values(
+                    "ts_us_"
+                ),
+                on="ts_us_",
+                direction="backward",
+                suffixes=("", "_ref"),
+            )
+            # merge_asof matched on ts_us_; recover the reference ts for
+            # the lag from refs (unique on ts_us_)
+            ref_us = dict(zip(refs["ts_us_"], refs[id_col]))
+            us_sorted = sorted(ref_us)
+            import bisect
+
+            for r in m.itertuples(index=False):
+                mid = getattr(r, "match_id")
+                if pd.isna(mid):
+                    rows.append(
+                        (int(getattr(r, id_col)), int(getattr(r, key_col)),
+                         getattr(r, ts_col), -1, -1)
+                    )
+                else:
+                    i = bisect.bisect_right(us_sorted, r.ts_us_) - 1
+                    rus = us_sorted[i]
+                    lag = r.ts_us_ // 1_000_000 - rus // 1_000_000
+                    rows.append(
+                        (int(getattr(r, id_col)), int(getattr(r, key_col)),
+                         getattr(r, ts_col), int(mid), int(lag))
+                    )
+        if not refs.empty:
+            last = refs.iloc[-1]
+            state.update((int(last["ts_us_"]), int(last[id_col])))
+        if not rows:
+            return iter([])
+        return iter(
+            [pd.DataFrame(
+                rows,
+                columns=[id_col, key_col, ts_col, "match_id", "lag_s"],
+            )]
+        )
+
+    return tagged_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
