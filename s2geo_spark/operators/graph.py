@@ -156,11 +156,14 @@ def triangles(edges: DataFrame, src: str = "src",
     )
     e = u.join(ra, "a").join(rb, "b")
     fwd = F.col("rka") < F.col("rkb")
+    # materialize the oriented edge set once: it feeds three plan arms
+    # (x, y, z) and Spark re-derives unshared subtrees per arm — at
+    # scale that would be three scans+aggs of the edge set
     o = e.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("rkb")).otherwise(F.col("rka")).alias("rkv"),
-    )
+    ).localCheckpoint()
     x = o.select("u", F.col("v").alias("v1"), F.col("rkv").alias("rk1"))
     y = o.select("u", F.col("v").alias("v2"), F.col("rkv").alias("rk2"))
     wedge = x.join(y, "u").where(F.col("rk1") < F.col("rk2"))
