@@ -316,3 +316,88 @@ class TestTriangles:
         assert set(trips) == exp
         for a, b, c in trips:
             assert a < b < c
+
+
+class TestStreamAsof:
+    def test_multi_batch_state_carry_matches_batch(self, spark, tmp_path):
+        """Three time-ordered files -> three micro-batches: reference
+        rows from earlier batches must match query rows in later ones
+        (the state carry-in path the single-file contract query never
+        exercises)."""
+        import glob
+        import os
+
+        from s2geo_spark.operators.temporal import asof_join
+        from s2geo_spark.streaming import pipeline as spl
+
+        rng = np.random.RandomState(21)
+        n = 900
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 12, n).astype(np.int64),
+                "ts": [_ts(s) for s in rng.randint(0, 90_000, n)],
+                "side": (rng.rand(n) < 0.3).astype(np.int32),
+            }
+        ).sort_values("ts", kind="stable")
+        src = str(tmp_path / "stream_src")
+        os.makedirs(src)
+        thirds = np.array_split(df, 3)
+        for i, part in enumerate(thirds):
+            spark.createDataFrame(part).coalesce(1).write.parquet(
+                f"{src}/tmp{i}"
+            )
+            f = glob.glob(f"{src}/tmp{i}/*.parquet")[0]
+            os.rename(f, f"{src}/{i:03d}.parquet")
+            import shutil
+
+            shutil.rmtree(f"{src}/tmp{i}")
+
+        sdf = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{src}/000.parquet").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        import uuid
+
+        name = f"t_asof_{uuid.uuid4().hex[:8]}"
+        spl.run_to_memory(
+            spl.asof_enrich_stream(sdf), name, mode="append"
+        )
+        got = (
+            spark.table(name)
+            .orderBy("event_id")
+            .toPandas()[["event_id", "match_id", "lag_s"]]
+        )
+
+        full = spark.createDataFrame(df)
+        left = full.where(F.col("side") == 1).select(
+            "event_id", "user_id", "ts"
+        )
+        right = full.where(F.col("side") == 0).select(
+            F.col("event_id").alias("rid"), "user_id", "ts"
+        )
+        exp = (
+            asof_join(
+                left, right, on=["user_id"], right_cols=["rid"],
+                tie_col="rid",
+            )
+            .select(
+                "event_id",
+                F.coalesce("rid", F.lit(-1)).cast("long").alias("match_id"),
+                F.coalesce(
+                    F.unix_timestamp("ts") - F.unix_timestamp("ts_r"),
+                    F.lit(-1),
+                ).cast("long").alias("lag_s"),
+            )
+            .orderBy("event_id")
+            .toPandas()
+        )
+        assert len(got) == len(exp)
+        assert (
+            got["match_id"].to_numpy() == exp["match_id"].to_numpy()
+        ).all()
+        assert (got["lag_s"].to_numpy() == exp["lag_s"].to_numpy()).all()
