@@ -5629,12 +5629,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's oracle gate checks the FIRST 50 entries
     # of this dict each round.  All queries are equally supported; to make
     # sure every query earns a recorded driver CORRECTNESS row over
-    # successive rounds, we rotate which sit in the tail.  Round 5: every
-    # query that has never had a driver row (the r5 additions plus the four
-    # the r4 window missed) sits in the first 50; multi-round-stable
-    # r1-r4-green queries rotate to the tail (rotate back in r6).  The late
-    # additions events_asof / olap_interval_ship / sketch_bloom displaced
-    # s2_hausdorff / s2_density_rollup / s2_union_algebra (all green in r4).
+    # successive rounds, we rotate which sit in the tail.  Invariant
+    # maintained every time a query is added (audited in-session):
+    #   * every query that has never had a driver CORRECTNESS row sits in
+    #     the first 50;
+    #   * every tail (51+) query has a green row in a prior round's
+    #     CORRECTNESS_r*.json (r5: all tail rows are green in r4);
+    #   * scripts/gate_check.py still verifies ALL queries locally each
+    #     session (CORRECTNESS_local.json).
+    # Next round: rotate tail queries back into the window.
     return {
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf,
