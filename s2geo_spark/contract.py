@@ -217,8 +217,9 @@ def _pip_index(spark):
     df = _PIP_INDEX_CACHE.get(key)
     if df is None:
         polys = spatial.polygons_to_df(spark, fx.pip_loops())
-        df = spatial.build_index_df(polys).persist()
-        df.count()  # materialize once
+        # local relation: survives catalog.clearCache() (a persist() memo
+        # does not — every later join then re-ran the applyInPandas build)
+        df = spatial.localize_index(spark, spatial.build_index_df(polys))
         _PIP_INDEX_CACHE[key] = df
     return df
 
@@ -258,8 +259,7 @@ def _pip_large_index(spark):
     df = _PIP_LARGE_CACHE.get(key)
     if df is None:
         polys = spatial.polygons_to_df(spark, fx.large_pip_loops())
-        df = spatial.build_index_df(polys).persist()
-        df.count()
+        df = spatial.localize_index(spark, spatial.build_index_df(polys))
         _PIP_LARGE_CACHE[key] = df
     return df
 
@@ -326,8 +326,7 @@ def _boolean_layer_index(spark):
             verts = np.asarray(r["loops"][0], dtype=np.float64).reshape(-1, 3)
             layer[int(r["a_id"]) * 4 + op_idx] = verts
     polys = spatial.polygons_to_df(spark, layer)
-    idx = spatial.build_index_df(polys).persist()
-    idx.count()
+    idx = spatial.localize_index(spark, spatial.build_index_df(polys))
     _BOOL_INDEX_CACHE[key] = idx
     return idx
 
@@ -419,8 +418,7 @@ def _degen_layer_index(spark):
             ]
             layer[int(r["a_id"]) * 4 + op_idx] = loop_list
     polys = spatial.polygons_to_df(spark, layer)
-    idx = spatial.build_index_df(polys).persist()
-    idx.count()
+    idx = spatial.localize_index(spark, spatial.build_index_df(polys))
     _DEGEN_INDEX_CACHE[key] = idx
     return idx
 
@@ -496,8 +494,9 @@ def _buffer_layer_index(spark):
         ]
         for r in buffered
     }
-    idx = spatial.build_index_df(spatial.polygons_to_df(spark, layer)).persist()
-    idx.count()
+    idx = spatial.localize_index(
+        spark, spatial.build_index_df(spatial.polygons_to_df(spark, layer))
+    )
     _BUFFER_INDEX_CACHE[key] = idx
     return idx
 
@@ -582,8 +581,7 @@ def _winding_layer_index(spark):
             ]
             layer[int(r["region_id"]) * 4 + rule_idx] = loop_list
     polys = spatial.polygons_to_df(spark, layer)
-    idx = spatial.build_index_df(polys).persist()
-    idx.count()
+    idx = spatial.localize_index(spark, spatial.build_index_df(polys))
     _WINDING_INDEX_CACHE[key] = idx
     return idx
 
@@ -631,6 +629,9 @@ xyz AS (SELECT point_id, {_XYZ_SQL} FROM pts)
 """
 
 
+_EDGES_CACHE: dict = {}
+
+
 def q_edge_crossings(spark, sf_dir):
     """Edge-crossing join (S2CrossingEdgeQuery + GetIntersection,
     s2crossing_edge_query.cc:389 / s2edge_crossings.cc:360): which
@@ -638,8 +639,22 @@ def q_edge_crossings(spark, sf_dir):
     Candidates via ring-covering term duality; exact 4-det residual."""
     from s2geo_spark.operators import crossing
 
-    a = geo.edges_from(_t(spark, sf_dir, "supplier"), "s_suppkey", "a_id")
-    b = geo.edges_from(_t(spark, sf_dir, "customer"), "c_custkey", "b_id")
+    # The edge-layer DataFrame OBJECTS are memoized per session so the
+    # metadata probes memo_stats hangs off them (distinct ring levels,
+    # edge counts — pure functions of the immutable lazy plans) run once,
+    # not per call. Rows are still computed from parquet on every action.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGES_CACHE.get(key)
+    if cached is None:
+        # width-rebalanced scans: the ring-covering pandas UDF and the
+        # 4-det residual otherwise run in the single-file scan's 1-2
+        # tasks (no-op at real scale, where edge layers span many files)
+        cached = (
+            geo.edges_from(_tw(spark, sf_dir, "supplier"), "s_suppkey", "a_id"),
+            geo.edges_from(_tw(spark, sf_dir, "customer"), "c_custkey", "b_id"),
+        )
+        _EDGES_CACHE[key] = cached
+    a, b = cached
     return crossing.crossing_join(a, b, emit_points=False).select(
         "a_id", "b_id"
     )
@@ -5435,6 +5450,11 @@ def q_sketch_bloom(spark, sf_dir):
     # broadcast joins would otherwise each re-run the build-side scan+agg
     filt = bloom_build(members, "p_partkey", n_bits=1024, k=4).localCheckpoint()
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    # width guard: 4 md5 probes/row run in the scan's task count — a
+    # single-file table caps that at 1-2 tasks (no-op at real scale)
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        li = li.repartition(par)
     probed = bloom_probe(li, filt, "l_partkey", n_bits=1024, k=4)
     truth = members.select(
         "p_partkey", F.lit(1).alias("is_member")

@@ -85,27 +85,52 @@ def _ancestor_terms_at(df: DataFrame, set_id: str, levels: list):
     return df.select(set_id, F.explode(anc).alias("term"))
 
 
+def _tagged_terms(df: DataFrame, id_col: str, anc_levels: list) -> DataFrame:
+    """One exploded table per side: the cell itself tagged cov=true plus
+    its ancestors at `anc_levels` tagged cov=false — a single pass over
+    the (possibly expensive, e.g. ring-UDF) input subtree."""
+    lv = sf.s2_level_expr("cell")
+    items = [
+        F.struct(F.col("cell").alias("term"), F.lit(True).alias("cov"))
+    ] + [
+        F.when(
+            F.lit(L) <= lv,
+            F.struct(sf.s2_parent("cell", L).alias("term"),
+                     F.lit(False).alias("cov")),
+        )
+        for L in sorted(anc_levels)
+    ]
+    arr = F.filter(F.array(*items), lambda c: c.isNotNull())
+    return df.select(id_col, F.explode(arr).alias("t")).select(
+        id_col, F.col("t.term").alias("term"), F.col("t.cov").alias("cov")
+    )
+
+
 def set_intersections(
     a: DataFrame, b: DataFrame, a_id: str = "a_id", b_id: str = "b_id",
     min_level: int = 0, max_level: int = 30,
     levels_a: list | None = None, levels_b: list | None = None,
+    broadcast_side: str | None = None,
 ) -> DataFrame:
     """All (a_id, b_id) pairs whose cell unions intersect.
 
     Two unions intersect iff some cell of one contains a cell of the other
-    — i.e. covering(A) matches an ancestor-term of B or vice versa. Two
-    hash equi-joins, union, distinct (the reference's index/query term
-    duality made relational).
+    — i.e. covering(A) matches an ancestor-term of B or vice versa (the
+    reference's index/query term duality made relational). Both match
+    directions run as ONE hash equi-join on the term with a cov(A) !=
+    cov(B) residual over tagged term tables, so each side's input subtree
+    (often an uncached UDF output) is computed once, not twice, and the
+    plan has a single join instead of two joins + union.
 
     A side's ancestor terms are generated only at the levels actually
     present on the OTHER side (a term can only equi-match a cell at that
     cell's own level), so the explode factor is the other side's distinct
-    level count, not the [min_level, max_level] span — two tiny
-    distinct-level aggregates buy a ~4x smaller shuffle here. Callers
-    that already know their level sets (e.g. crossing_join, whose ring
-    levels come from a pure-JVM expression) pass levels_a/levels_b to
-    skip the probe — important when the inputs are uncached UDF outputs
-    that a probe would recompute."""
+    level count, not the [min_level, max_level] span. Callers that
+    already know their level sets (e.g. crossing_join, whose ring levels
+    come from a pure-JVM expression) pass levels_a/levels_b to skip the
+    probe. broadcast_side ("a"/"b") lets a caller that KNOWS one layer is
+    small (size-gated upstream) ship that side's terms to every task —
+    the big side's exploded terms then never shuffle."""
     lv_a = [
         L
         for L in (levels_a if levels_a is not None else _levels_of(a))
@@ -116,13 +141,14 @@ def set_intersections(
         for L in (levels_b if levels_b is not None else _levels_of(b))
         if min_level <= L <= max_level
     ]
-    a_cov = a.select(F.col(a_id), F.col("cell").alias("term"))
-    b_cov = b.select(F.col(b_id), F.col("cell").alias("term"))
-    a_anc = _ancestor_terms_at(a, a_id, lv_b)
-    b_anc = _ancestor_terms_at(b, b_id, lv_a)
-    p1 = a_cov.join(b_anc, "term").select(a_id, b_id)
-    p2 = a_anc.join(b_cov, "term").select(a_id, b_id)
-    return p1.unionByName(p2).distinct()
+    at = _tagged_terms(a, a_id, lv_b)
+    bt = _tagged_terms(b, b_id, lv_a)
+    if broadcast_side == "a":
+        at = F.broadcast(at)
+    elif broadcast_side == "b":
+        bt = F.broadcast(bt)
+    cond = (at["term"] == bt["term"]) & (at["cov"] != bt["cov"])
+    return at.join(bt, cond).select(a_id, b_id).distinct()
 
 
 def set_contains_set(

@@ -166,10 +166,21 @@ def crossing_join(
     a_cells = edge_ring_cells(a_edges, edge_id=a_id).withColumnRenamed(a_id, "a_id_")
     b_cells = edge_ring_cells(b_edges, edge_id=b_id).withColumnRenamed(b_id, "b_id_")
     # ring-cell levels == edge levels, probed JVM-only (no ring-UDF rerun);
-    # set_intersections then explodes ancestors at just those levels
+    # set_intersections then explodes ancestors at just those levels.
+    # Size-gated broadcast (guide §3.1): when one edge layer's tagged term
+    # table fits the build budget, ship it — the big side's exploded ring
+    # terms then never shuffle. Counts are memoized per edge-DF object.
+    la, lb = edge_levels(a_edges), edge_levels(b_edges)
+    a_n = spatial.memo_stats(a_edges, "n_edges", a_edges.count)
+    b_n = spatial.memo_stats(b_edges, "n_edges", b_edges.count)
+    est_a = a_n * 9 * (1 + len(lb)) * 24  # <=9 ring cells, cov+ancestors
+    est_b = b_n * 9 * (1 + len(la)) * 24
+    bcast = None
+    if min(est_a, est_b) <= spatial.SPATIAL_BCAST_LIMIT:
+        bcast = "a" if est_a <= est_b else "b"
     cand = set_intersections(
         a_cells, b_cells, a_id="a_id_", b_id="b_id_", min_level=0, max_level=16,
-        levels_a=edge_levels(a_edges), levels_b=edge_levels(b_edges),
+        levels_a=la, levels_b=lb, broadcast_side=bcast,
     )
 
     def with_mid(df, pfx):

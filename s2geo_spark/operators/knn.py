@@ -122,6 +122,13 @@ def knn_join(
             # rounds, all JVM. This is the broadcast-the-small-dim rule:
             # ring search only pays off when the point side is too big to
             # ship to every task. Exact, same (dist2, point_id) tie rule.
+            # Width guard: the BNLJ expansion (|q| * n_pts rows) runs in
+            # the query side's scan partitions — a single small parquet
+            # file would serialize it; at real scale the scan is already
+            # wide and this is a no-op (guide §2.5 input skew).
+            par = q.sparkSession.sparkContext.defaultParallelism
+            if q.rdd.getNumPartitions() < par:
+                q = q.repartition(par)
             cand = q.crossJoin(
                 F.broadcast(p.select(point_id, "px", "py", "pz"))
             )

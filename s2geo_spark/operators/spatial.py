@@ -512,6 +512,31 @@ def build_index_df(
     return polys.groupBy("polygon_id").applyInPandas(per_poly, schema=schema)
 
 
+def localize_index(
+    spark: SparkSession, index_df: DataFrame, max_rows: int = 100_000
+) -> DataFrame:
+    """Materialize a small build-side index table as a LOCAL relation.
+
+    Index tables are built once per session and reused across every scan
+    (SURVEY §3.2: in production the covering table is materialized to
+    storage). A `.persist()` memo is defeated by any later
+    `spark.catalog.clearCache()` — every subsequent join then re-runs the
+    whole applyInPandas build, TWICE per contains_join_indexed call (the
+    slim and detail projections both read it). Collecting the (tiny)
+    table once and re-creating it as a LocalTableScan makes the memo
+    unconditional: no recompute, no cache entry to lose, and the
+    broadcast build reads driver-local rows. Falls back to persist() when
+    the table is unexpectedly large (> max_rows), preserving the
+    distributed path's semantics.
+    """
+    rows = index_df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:  # too big to hold on the driver: keep lazy
+        df = index_df.persist()
+        df.count()
+        return df
+    return spark.createDataFrame(rows, index_df.schema)
+
+
 def _residual_group(pid: int, cell: int, contains_center: bool, edges, ksigns, pts3):
     """Worker-side anchored parity for one (polygon, cell) group.
 
