@@ -2869,7 +2869,7 @@ FROM sig a JOIN sig b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
 """
 
 
-def _shingles(spark, sf_dir):
+def _shingles(spark, sf_dir, distinct: bool = True):
     """Distinct 12-char shingles per doc, as TWO int64 hashes — the
     near-dup unit.
 
@@ -2882,12 +2882,16 @@ def _shingles(spark, sf_dir):
     (~2^-60-scale) are mirrored exactly by the oracle, which computes the
     same substrings. (A same-digest two-slice variant was tried and
     rejected: its band-2 argmin re-clustered the planted duplicate docs
-    and doubled the candidate pairs.)"""
+    and doubled the candidate pairs.)
+
+    distinct=False skips the per-doc dedup exchange for consumers whose
+    aggregates are duplicate-insensitive (min per band) — one full
+    shuffle of the shingle stream saved (guide §2.4)."""
     docs = _tw(spark, sf_dir, "documents")
     s = F.expr("substr(text, pos, 12)")
     m1 = F.md5(s)
     m2 = F.md5(F.concat(F.lit("salt:"), s))
-    return (
+    raw = (
         docs.select(
             "doc_id",
             F.explode(
@@ -2900,8 +2904,8 @@ def _shingles(spark, sf_dir):
             F.conv(F.substring(m1, 1, 15), 16, 10).cast("long").alias("g"),
             F.conv(F.substring(m2, 1, 15), 16, 10).cast("long").alias("g2"),
         )
-        .distinct()
     )
+    return raw.distinct() if distinct else raw
 
 
 # broadcast budget for q_jaccard_pairs' two build relations; ~10% of a
@@ -2930,14 +2934,25 @@ def _jaccard_build(spark, sf_dir):
     the equi-join multiset semantics (sum over g of cntA(g)*cntB(g)) the
     DuckDB oracle computes, so even a 60-bit in-doc hash collision would
     hash-match."""
-    sh = _shingles(spark, sf_dir)
+    # single-pass per-doc aggregation over the RAW shingle stream: the
+    # per-(doc,g,g2) dedup rides the map-side partial collect_set instead
+    # of a separate full-stream distinct exchange (guide §2.3 "aggregate
+    # before you shuffle"); min() is duplicate-insensitive, and gs keeps
+    # the exact per-distinct-(g,g2) multiset of g the oracle computes
+    sh = _shingles(spark, sf_dir, distinct=False)
     stats = (
         sh.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n"),
             F.min("g").alias("mh1"),
             F.min("g2").alias("mh2"),
-            F.array_sort(F.collect_list("g")).alias("gs"),
+            F.collect_set(F.struct("g", "g2")).alias("gset"),
+        )
+        .select(
+            "doc_id",
+            F.size("gset").cast("long").alias("n"),
+            "mh1",
+            "mh2",
+            F.array_sort(F.transform("gset", lambda x: x["g"])).alias("gs"),
         )
         .persist()
     )
@@ -3075,7 +3090,9 @@ def q_dedup_clusters(spark, sf_dir):
     from .operators.dedup import connected_components
 
     docs = _tw(spark, sf_dir, "documents")
-    sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(
+    # min per band is duplicate-insensitive: skip the shingle-dedup
+    # exchange entirely (one full shuffle of the 10M-row stream saved)
+    sig = _shingles(spark, sf_dir, distinct=False).groupBy("doc_id").agg(
         F.min("g").alias("mh1"), F.min("g2").alias("mh2")
     )
     edges = None

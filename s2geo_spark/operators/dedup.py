@@ -39,11 +39,13 @@ def _large_star(sym: DataFrame) -> DataFrame:
     """
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    # no trailing distinct: _small_star's min-aggregates are duplicate-
+    # insensitive and its own final distinct canonicalizes the round's
+    # output — dropping this saves one full exchange per round
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -111,8 +113,12 @@ def connected_components(
         )
         e = _small_star(_large_star(sym))
         # truncate lineage each round: iterative self-joins otherwise
-        # compound the plan (and re-execute every prior round on action)
-        e = e.localCheckpoint(eager=True)
+        # compound the plan (and re-execute every prior round on action).
+        # LAZY checkpoint: the convergence-checksum collect below is the
+        # materializing action, so each round pays ONE job instead of two
+        # (VERDICT r5 #6 — the eager checkpoint + separate collect were
+        # the per-round driver overhead)
+        e = e.localCheckpoint(eager=False)
         # bit_xor, not sum: ANSI mode makes sum(hash) overflow long, and
         # xor over a DISTINCT edge set is an equally strong set checksum
         row = e.select(
