@@ -2982,19 +2982,31 @@ def _jaccard_build(spark, sf_dir):
     def isect(batches):
         import numpy as _np
 
+        def _rle(x):
+            # run lengths of a SORTED array (gs is array_sort-ed upstream):
+            # O(n) vs np.unique's full re-sort — the residual stage's cost
+            # is |pairs| * avg_shingles, so the constant matters
+            idx = _np.flatnonzero(
+                _np.concatenate(([True], x[1:] != x[:-1]))
+            )
+            return x[idx], _np.diff(_np.concatenate((idx, [x.size])))
+
         for pdf in batches:
             ns = []
             for ga, gb in zip(pdf["gs_a"], pdf["gs_b"]):
-                ua, ca = _np.unique(
-                    _np.asarray(ga, dtype=_np.int64), return_counts=True
-                )
-                ub, cb = _np.unique(
-                    _np.asarray(gb, dtype=_np.int64), return_counts=True
-                )
-                _, ia, ib = _np.intersect1d(
-                    ua, ub, assume_unique=True, return_indices=True
-                )
-                ns.append(int((ca[ia] * cb[ib]).sum()))
+                a = _np.asarray(ga, dtype=_np.int64)
+                b = _np.asarray(gb, dtype=_np.int64)
+                if a.size == 0 or b.size == 0:
+                    ns.append(0)
+                    continue
+                ua, ca = _rle(a)
+                ub, cb = _rle(b)
+                pos = _np.searchsorted(ub, ua)
+                # pos == ub.size means ua > max(ub): cannot equal ub[0]
+                # (strictly greater), so wrapping to 0 is maskable
+                pos[pos == ub.size] = 0
+                m = ub[pos] == ua
+                ns.append(int((ca[m] * cb[pos[m]]).sum()))
             yield pd.DataFrame(
                 {
                     "doc_a": pdf["doc_a"],

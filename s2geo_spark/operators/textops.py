@@ -161,6 +161,14 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     toks = docs.select(
         F.col(id_col), F.size(_words(text_col)).cast("long").alias("n_tokens")
     ).repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
+    # Pin the range exchange to ONE physical RDD (lazy local checkpoint —
+    # materialized by the query's own action): the per-partition totals
+    # subplan and the main window both read spark_partition_id() over this
+    # shuffle, and correctness requires both to see the SAME sampled range
+    # boundaries. Exchange reuse usually guarantees that, but it is a
+    # planner optimization, not a contract (ADVICE r5 #1); the checkpoint
+    # makes the shared partitioning structural.
+    toks = toks.localCheckpoint(eager=False)
     part = toks.withColumn("_pid", F.spark_partition_id())
     totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_t"))
     wtot = (
