@@ -2342,8 +2342,12 @@ def q_union_algebra(spark, sf_dir):
 
     raw_a = _alg_raw(spark, sf_dir, "customer", "c_custkey", 7)
     raw_b = _alg_raw(spark, sf_dir, "supplier", "s_suppkey", 3)
-    na = cellset.normalize_sets(raw_a)
-    nb = cellset.normalize_sets(raw_b)
+    # normalized sets are consumed by FOUR branches (normalize stats,
+    # intersection a_terms + a_side, difference): a lazy local checkpoint
+    # materializes each tiny per-set applyInPandas result once instead of
+    # re-running it per branch (the query's own action triggers it)
+    na = cellset.normalize_sets(raw_a).localCheckpoint(eager=False)
+    nb = cellset.normalize_sets(raw_b).localCheckpoint(eager=False)
     un = cellset.set_union(raw_a, raw_b)
     inter = (
         cellset.set_intersection_cells(

@@ -534,7 +534,13 @@ def localize_index(
         df = index_df.persist()
         df.count()
         return df
-    return spark.createDataFrame(rows, index_df.schema)
+    df = spark.createDataFrame(rows, index_df.schema)
+    # keep the raw rows on the object: contains_join_indexed uses them to
+    # ship the boundary detail ONCE as a task broadcast instead of
+    # attaching per-row edge arrays through a join + Arrow (guide §4.1:
+    # control how many bytes cross the Python boundary)
+    df._s2_local_rows = rows
+    return df
 
 
 def _residual_group(pid: int, cell: int, contains_center: bool, edges, ksigns, pts3):
@@ -573,9 +579,14 @@ def contains_join_indexed(
          at the index's levels (tiny distinct-levels aggregate) — no UDF;
       2. ONE hash equi-join candidates vs the slim (quad, polygon_id,
          cell, is_interior) projection (broadcast when small);
-      3. round-robin rebalance of the slim candidates (skew: hot cells);
-      4. broadcast re-attach of (contains_center, edges, ksigns) on
-         (polygon_id, cell) — no extra shuffle, rows stay slim through 3;
+      3. round-robin rebalance of the slim candidates (skew: hot cells) —
+         skipped when the candidate stream is already at least
+         session-wide, so a wide scan doesn't pay a pointless exchange;
+      4. detail attach of (contains_center, edges, ksigns) on
+         (polygon_id, cell): for a LOCALIZED index (localize_index) the
+         detail ships ONCE per task as a Python broadcast — no join, no
+         per-row edge arrays through Arrow (guide §4.1); otherwise the
+         broadcast-join re-attach keeps rows slim through 3;
       5. mapInPandas residual: interior rows stream through; boundary rows
          run the anchored crossing parity against <=max_edges_per_cell
          clipped edges — work scales with edges-per-cell, not polygon size
@@ -589,6 +600,7 @@ def contains_join_indexed(
     skew handling.
     """
     spark = points.sparkSession
+    local_rows = getattr(index_df, "_s2_local_rows", None)
     # one pass over the index: distinct levels + the size estimates the
     # broadcast gates need (was a levels-only distinct collect); memoized
     # on the index object — the flagship and every q_pip_* call reuse one
@@ -623,24 +635,60 @@ def contains_join_indexed(
         "term", "quad"
     )
     if rebalance:
-        cand = cand.repartition(spark.sparkContext.defaultParallelism * 2)
+        par = spark.sparkContext.defaultParallelism
+        # streaming plans cannot probe .rdd; their micro-batch input is
+        # narrow, so always rebalance there. Batch: only pay the exchange
+        # when the scan side is narrower than the session — a wide scan
+        # (the 100-TB case) flows straight into the residual. Probing the
+        # INPUT plan is cheap (scan-only RDD translation); the candidate
+        # stream inherits its width through the narrow explode +
+        # broadcast join.
+        if points.isStreaming or points.rdd.getNumPartitions() < par:
+            cand = cand.repartition(par * 2)
 
-    detail = index_df.select(
-        F.col("polygon_id").alias("d_pid"),
-        F.col("cell").alias("d_cell"),
-        "contains_center",
-        "edges",
-        "ksigns",
-    )
-    detail = _gate_broadcast(detail, detail_est, broadcast_index)
-    cand = cand.join(
-        detail,
-        (cand["polygon_id"] == detail["d_pid"]) & (cand["cell"] == detail["d_cell"]),
-        "inner",
-    ).drop("d_pid", "d_cell")
+    detail_bc = None
+    if local_rows is not None:
+        # Localized index: pre-group the boundary detail on the driver
+        # (anchor point, clipped-edge matrix, crossing signs — a few KB)
+        # and ship it ONCE per executor. The per-row join would instead
+        # duplicate up to max_edges_per_cell*6 doubles onto every
+        # boundary candidate and drag them through Arrow.
+        def _build_detail():
+            from s2geo_spark.kernel import cellid_v1 as _v1
+
+            dmap = {}
+            for r in local_rows:
+                if r["is_interior"]:
+                    continue
+                cid = np.array([r["cell"]], dtype=np.int64).view(np.uint64)
+                cx, cy, cz = _v1.to_point(cid)
+                dmap[(int(r["polygon_id"]), int(r["cell"]))] = (
+                    np.array([cx[0], cy[0], cz[0]]),
+                    bool(r["contains_center"]),
+                    np.asarray(r["edges"], dtype=np.float64).reshape(-1, 6),
+                    np.asarray(r["ksigns"], dtype=np.int8),
+                )
+            return spark.sparkContext.broadcast(dmap)
+
+        detail_bc = memo_stats(index_df, "detail_bc", _build_detail)
+    else:
+        detail = index_df.select(
+            F.col("polygon_id").alias("d_pid"),
+            F.col("cell").alias("d_cell"),
+            "contains_center",
+            "edges",
+            "ksigns",
+        )
+        detail = _gate_broadcast(detail, detail_est, broadcast_index)
+        cand = cand.join(
+            detail,
+            (cand["polygon_id"] == detail["d_pid"])
+            & (cand["cell"] == detail["d_cell"]),
+            "inner",
+        ).drop("d_pid", "d_cell")
 
     drop_cols = ["is_interior", "contains_center", "edges", "ksigns", "cell"]
-    base_schema = cand.drop(*drop_cols).schema
+    base_schema = cand.drop(*[c for c in drop_cols if c in cand.columns]).schema
     if emit_cell:
         from pyspark.sql.types import LongType, StructField
 
@@ -652,6 +700,7 @@ def contains_join_indexed(
     def pip_iter(batches):
         from s2geo_spark.kernel import cellid_v1 as _v1
         from s2geo_spark.kernel import s2coords as _sc
+        from s2geo_spark.kernel import shapeindex as _si
 
         for pdf in batches:
             keep = pdf["is_interior"].to_numpy(dtype=bool).copy()
@@ -662,23 +711,43 @@ def contains_join_indexed(
                 )
                 pts3_all = np.stack([x, y, z], axis=1)
                 pos = pdf.index.get_indexer(boundary.index)
-                grp_codes, _ = pd.factorize(
-                    boundary["polygon_id"].astype(str) + "_" + boundary["cell"].astype(str)
-                )
-                for g in np.unique(grp_codes):
-                    rows = np.nonzero(grp_codes == g)[0]
-                    first = boundary.iloc[rows[0]]
-                    inside = _residual_group(
-                        int(first["polygon_id"]),
-                        int(first["cell"]),
-                        bool(first["contains_center"]),
-                        first["edges"],
-                        first["ksigns"],
-                        pts3_all[rows],
+                # numeric two-key grouping (no string concat): sorted runs
+                pid_arr = boundary["polygon_id"].to_numpy(dtype=np.int64)
+                cell_arr = boundary["cell"].to_numpy(dtype=np.int64)
+                order = np.lexsort((cell_arr, pid_arr))
+                sp = pid_arr[order]
+                sc_ = cell_arr[order]
+                starts = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (sp[1:] != sp[:-1]) | (sc_[1:] != sc_[:-1]))
                     )
+                )
+                bounds = np.concatenate((starts, [len(order)]))
+                for gi in range(len(starts)):
+                    rows = order[bounds[gi]:bounds[gi + 1]]
+                    key = (int(sp[bounds[gi]]), int(sc_[bounds[gi]]))
+                    if detail_bc is not None:
+                        anchor, cc, em, km = detail_bc.value[key]
+                        inside = _si.contains_from_anchor(
+                            anchor, cc, em, km, pts3_all[rows]
+                        )
+                    else:
+                        first = boundary.iloc[rows[0]]
+                        inside = _residual_group(
+                            key[0],
+                            key[1],
+                            bool(first["contains_center"]),
+                            first["edges"],
+                            first["ksigns"],
+                            pts3_all[rows],
+                        )
                     keep[pos[rows]] = inside
             out = pdf.loc[keep].drop(
-                columns=[c for c in drop_cols if c != "cell" or not emit_cell]
+                columns=[
+                    c
+                    for c in drop_cols
+                    if c in pdf.columns and (c != "cell" or not emit_cell)
+                ]
             )
             if emit_cell:
                 out = out.assign(
