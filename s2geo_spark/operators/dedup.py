@@ -68,12 +68,55 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Finish the closure on the driver for a BOUNDED canonical edge set:
+    vectorized pointer-jumping min-label propagation (the same contraction
+    the star rounds perform, O(log n) sweeps over two int64 arrays).
+
+    This is the same size-gated physical-path choice as the kNN brute
+    path: once LSH/band derivation has reduced a corpus to a candidate
+    graph that fits in tens of MB, one collect + NumPy finishes it in
+    milliseconds instead of paying multi-stage shuffle rounds over tiny
+    data; past the gate the distributed star rounds run unchanged."""
+    import numpy as np
+
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return e.sparkSession.createDataFrame(
+            [], "node long, component long"
+        )
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    node_ids = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(node_ids, u)
+    vi = np.searchsorted(node_ids, v)
+    lab = np.arange(len(node_ids), dtype=np.int64)
+    while True:
+        nl = lab.copy()
+        # edge relaxation both directions, then pointer jumping; node_ids
+        # is sorted, so min over indices == min over node ids
+        np.minimum.at(nl, ui, lab[vi])
+        np.minimum.at(nl, vi, lab[ui])
+        nl = np.minimum(nl, nl[nl])
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    import pandas as pd
+
+    return e.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {"node": node_ids, "component": node_ids[lab]}
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_iter: int = 64,
+    max_driver_edges: int = 4_000_000,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id of its connected
     component.
@@ -83,11 +126,18 @@ def connected_components(
     node ids; isolated nodes (no edges) appear in the output labelled by
     themselves.  Returns DataFrame(node, component).
 
-    Convergence is detected by a (count, sum-of-hash) checksum of the
-    canonicalized edge set — one tiny aggregate per round, no driver
-    collect of edges.  The result is exact for any graph the rounds
-    converge on (the algorithm is a contraction: the checksum can only
-    repeat on a fixpoint for the star forest it converges to).
+    The canonical edge set is counted once (the count doubles as the
+    materializing action for its checkpoint); at or below
+    ``max_driver_edges`` (default 4M edges = 64 MB of int64 pairs) the
+    closure finishes on the driver with vectorized pointer jumping —
+    label-identical to the star rounds, verified by tests running both
+    paths.  Above the gate, alternating large-star/small-star rounds run
+    distributed; convergence is detected by a (count, xor-of-hash)
+    checksum of the canonicalized edge set — one tiny aggregate per
+    round, no driver collect of edges.  The result is exact for any
+    graph the rounds converge on (the algorithm is a contraction: the
+    checksum can only repeat on a fixpoint for the star forest it
+    converges to).
     """
     # canonicalize to u < v so (a,b)/(b,a) inputs collapse and the
     # reverse-union below stays duplicate-free
@@ -102,6 +152,20 @@ def connected_components(
     node_col = None
     if nodes is not None:
         node_col = nodes.columns[0]
+
+    if max_driver_edges > 0:
+        e = e.localCheckpoint(eager=False)
+        if e.count() <= max_driver_edges:
+            labels = _driver_components(e)
+            if nodes is not None:
+                all_nodes = nodes.select(
+                    F.col(node_col).alias("node")
+                ).distinct()
+                labels = all_nodes.join(labels, "node", "left").select(
+                    "node",
+                    F.coalesce("component", F.col("node")).alias("component"),
+                )
+            return labels
 
     prev_sig = None
     for _ in range(max_iter):
