@@ -2970,8 +2970,12 @@ def _jaccard_build(spark, sf_dir):
             "doc_a", "doc_b"
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct().persist()
-    pairs.count()  # materialize pairs (and stats) once
+    # pairs is consumed exactly once (the candidate join below), so it
+    # needs no persist/count materialization of its own — the n_sh
+    # aggregate is the action that materializes the persisted stats, and
+    # the pairs self-joins then read the stats cache inside the
+    # intersect job (two serial driver actions saved per call)
+    pairs = pairs.distinct()
     n_sh = int(sizes.agg(F.sum("n")).collect()[0][0] or 0)
     aa = stats.select(
         F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")

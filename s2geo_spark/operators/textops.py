@@ -303,6 +303,12 @@ def span_dup_coverage(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
             ).alias("pos", "g"),
         )
     )
+    # three consumers (global counts, per-doc totals, flag join) would
+    # each re-run the md5-hashing explode; one lazy materialization of
+    # the already-slim (id, n_words, pos, g) stream trades a
+    # MEMORY_AND_DISK write for two full re-hash passes — the same trade
+    # a production pipeline makes by materializing the span table once
+    spans = spans.localCheckpoint(eager=False)
     counts = spans.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     totals = spans.groupBy(id_col).agg(
         F.first("n_words").alias("n_words"),
