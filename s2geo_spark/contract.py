@@ -29,11 +29,23 @@ from s2geo_spark.sources import fixtures as fx
 from s2geo_spark.sources import geo
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from s2geo_spark import deploy
 
     deploy.ensure_on_workers(spark)  # --py-files equivalent, idempotent
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # memoize the lazy scan HANDLE per session (a DataFrame is an
+    # immutable plan; rows are re-read from parquet on every action):
+    # spark.read.parquet pays ~0.1 s of driver schema/listing latency per
+    # call, and metadata memos (memo_stats) only hit on stable objects
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,10 +59,14 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     least as wide as the session and this is a no-op, so the shuffle never
     appears in the 100-TB plan.
     """
-    df = _t(spark, sf_dir, name)
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    key = (spark.sparkContext.applicationId, sf_dir, name, "w")
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = _t(spark, sf_dir, name)
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        _T_CACHE[key] = df
     return df
 
 

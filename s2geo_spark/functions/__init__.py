@@ -266,6 +266,19 @@ def tile_assign(cell, tile_level: int) -> Column:
     return s2_parent(cell, tile_level)
 
 
+def _expr_cache_key(*parts):
+    """Key for memoizing pure Column expression trees: the string args
+    plus the live py4j gateway's identity (a Column wraps a JVM object;
+    a new in-process JVM would invalidate cached trees)."""
+    from pyspark import SparkContext
+
+    return (id(SparkContext._gateway), *parts)
+
+
+_FIJ_COLS_CACHE: dict = {}
+_QUAD_KEY_CACHE: dict = {}
+
+
 def s2_face_ij_cols(lat, lon):
     """(face, i, j) leaf coordinates as PURE Catalyst expressions — the full
     S2 transform (trig -> face argmax -> per-face u,v -> quadratic ST ->
@@ -275,7 +288,19 @@ def s2_face_ij_cols(lat, lon):
 
     Returns (face, i, j) Columns. Bit-for-bit the kernel's values (verified
     by the s2_quad_counts oracle query + tests).
+
+    The returned Columns are immutable name-resolved expression trees, so
+    for string column names they are memoized: building this tree costs
+    a few hundred py4j round trips (~0.2 s of pure driver latency per
+    query construction, measured via cProfile — guide §7.3 territory).
     """
+    if isinstance(lat, str) and isinstance(lon, str):
+        key = _expr_cache_key("fij", lat, lon)
+        hit = _FIJ_COLS_CACHE.get(key)
+        if hit is not None:
+            return hit
+    else:
+        key = None
     la, lo = _col(lat), _col(lon)
     phi = F.radians(la)
     theta = F.radians(lo)
@@ -316,7 +341,10 @@ def s2_face_ij_cols(lat, lon):
             F.lit((1 << 30) - 1),
         )
 
-    return face.cast("int"), ij(u), ij(v)
+    out = (face.cast("int"), ij(u), ij(v))
+    if key is not None:
+        _FIJ_COLS_CACHE[key] = out
+    return out
 
 
 def quad_key(face, i, j, level: int) -> Column:
@@ -329,12 +357,24 @@ def quad_key(face, i, j, level: int) -> Column:
     """
     if level > 25:
         raise ValueError("quad_key supports level <= 25")
+    if (
+        isinstance(face, str) and isinstance(i, str) and isinstance(j, str)
+    ):
+        key = _expr_cache_key("quad", face, i, j, level)
+        hit = _QUAD_KEY_CACHE.get(key)
+        if hit is not None:
+            return hit
+    else:
+        key = None
     s = 30 - level
     iq = F.shiftrightunsigned(_col(i), s)
     jq = F.shiftrightunsigned(_col(j), s)
-    return (
+    out = (
         (_col(face).cast("long") * F.lit(1 << 58))
         + (F.lit(level).cast("long") * F.lit(1 << 53))
         + iq * F.lit(1 << 26)
         + jq
     )
+    if key is not None:
+        _QUAD_KEY_CACHE[key] = out
+    return out

@@ -512,6 +512,28 @@ def build_index_df(
     return polys.groupBy("polygon_id").applyInPandas(per_poly, schema=schema)
 
 
+_NPARTS_CACHE: dict = {}
+
+
+def _scan_width(points: DataFrame) -> int:
+    """Partition count of a batch input plan, memoized per
+    (session, semanticHash): the .rdd translation costs ~0.1 s of driver
+    latency per call, and width is a pure function of the (immutable)
+    plan within a session."""
+    try:
+        key = (
+            points.sparkSession.sparkContext.applicationId,
+            points.semanticHash(),
+        )
+    except Exception:
+        return points.rdd.getNumPartitions()
+    n = _NPARTS_CACHE.get(key)
+    if n is None:
+        n = points.rdd.getNumPartitions()
+        _NPARTS_CACHE[key] = n
+    return n
+
+
 def localize_index(
     spark: SparkSession, index_df: DataFrame, max_rows: int = 100_000
 ) -> DataFrame:
@@ -639,11 +661,10 @@ def contains_join_indexed(
         # streaming plans cannot probe .rdd; their micro-batch input is
         # narrow, so always rebalance there. Batch: only pay the exchange
         # when the scan side is narrower than the session — a wide scan
-        # (the 100-TB case) flows straight into the residual. Probing the
-        # INPUT plan is cheap (scan-only RDD translation); the candidate
-        # stream inherits its width through the narrow explode +
-        # broadcast join.
-        if points.isStreaming or points.rdd.getNumPartitions() < par:
+        # (the 100-TB case) flows straight into the residual. The probe
+        # (scan-only RDD translation) is memoized per semantically-equal
+        # input plan, so repeated query constructions skip it.
+        if points.isStreaming or _scan_width(points) < par:
             cand = cand.repartition(par * 2)
 
     detail_bc = None
