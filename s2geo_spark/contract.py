@@ -3003,15 +3003,26 @@ def _jaccard_build(spark, sf_dir):
     # intersect job (two serial driver actions saved per call)
     pairs = pairs.distinct()
     n_sh = int(sizes.agg(F.sum("n")).collect()[0][0] or 0)
-    aa = stats.select(
-        F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")
-    )
-    ab = stats.select(
-        F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")
-    )
+    # ONE broadcast of the (doc_id, gs) table, attached twice through
+    # plan aliases: both BroadcastHashJoins then share a single
+    # BroadcastExchange (ReuseExchange dedupes canonically-equal
+    # children), so the ~n_sh*8B array payload is collected and shipped
+    # once instead of twice. Past the size gate both attaches shuffle on
+    # their own doc keys, exactly as before.
+    st = stats.select("doc_id", "gs")
     if n_sh * 16 <= JACCARD_BCAST_LIMIT:
-        aa, ab = F.broadcast(aa), F.broadcast(ab)
-    cand = pairs.join(aa, "doc_a").join(ab, "doc_b")
+        st = F.broadcast(st)
+    sa, sb = st.alias("sa"), st.alias("sb")
+    cand = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.gs").alias("gs_a"),
+            F.col("sb.gs").alias("gs_b"),
+        )
+    )
 
     def isect(batches):
         import numpy as _np
