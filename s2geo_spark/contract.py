@@ -169,12 +169,12 @@ def q_quad_counts(spark, sf_dir):
     # Pure-Catalyst path: s2_face_ij_cols computes (face,i,j) with zero
     # Python (VERDICT r1 #4 — the old plan paid two Arrow round-trips).
     pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
-    face, i, j = sf.s2_face_ij_cols("lat", "lon")
     return (
-        pts.select(
-            face.alias("face"),
-            F.shiftright(i, 22).alias("iq"),
-            F.shiftright(j, 22).alias("jq"),
+        sf.s2_face_ij_attach(pts, "lat", "lon", face="face")
+        .select(
+            "face",
+            F.shiftright("i", 22).alias("iq"),
+            F.shiftright("j", 22).alias("jq"),
         )
         .groupBy("face", "iq", "jq")
         .agg(F.count("*").alias("cnt"))

@@ -353,8 +353,7 @@ def contains_join_quads(
     )
     cov_df = qdf.drop("lvl")
 
-    fcol, icol, jcol = sf.s2_face_ij_cols(lat, lon)
-    pts = points.withColumns({"f": fcol, "i": icol, "j": jcol})
+    pts = sf.s2_face_ij_attach(points, lat, lon)
     quads = F.array(*[sf.quad_key("f", "i", "j", L) for L in levels])
     terms = pts.withColumn("term", F.explode(quads))
     cov_side = _gate_broadcast(cov_df, qdf_n * 40, broadcast_covering)
@@ -646,8 +645,8 @@ def contains_join_indexed(
     )
     slim_est = idx_n * 40
     detail_est = idx_n * 48 + idx_ne * 9
-    fcol, icol, jcol = sf.s2_face_ij_cols(lat, lon)
-    pts = points.withColumns({"f": fcol, "i": icol, "j": jcol})
+    # staged projections: small analyzer trees, trig computed once
+    pts = sf.s2_face_ij_attach(points, lat, lon)
     quads = F.array(*[sf.quad_key("f", "i", "j", L) for L in levels])
     terms = pts.withColumn("term", F.explode(quads))
 
